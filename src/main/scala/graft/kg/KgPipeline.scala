@@ -1,0 +1,224 @@
+package graft.kg
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.crf.{CrfConfig, CrfModel, SpanDecode}
+import graft.text.RuleTokenizer
+
+case class SentenceRow(url: String, sent_id: Int, text: String)
+case class MentionRow(url: String, sent_id: Int, start: Int, end: Int, value: String,
+                      entity: String, confidence: Double, partition_id: Int)
+
+/** The Spark-native KG-construction pipeline (north_rule): pages → sentences →
+  * CRF mentions → alias links → canonicalization → triples → graph tables.
+  *
+  * Scale design (SURVEY §4):
+  *  - model crosses to executors ONCE via broadcast; decode is a typed
+  *    `mapPartitions` (no per-row closure state, no driver loop)
+  *  - explicit `repartition(pmod(xxhash64(url), P))` before the heavy CRF
+  *    stage: deterministic placement, no skew from source file layout
+  *  - alias linking is a broadcast hash join (dictionary ≪ mentions)
+  *  - triple dedup is a salted two-phase aggregation (hot (s,p,o) keys — e.g.
+  *    popular entities on hot domains — pre-aggregate per salt bucket first)
+  *  - similarity join for canonicalization blocks on a cheap key and is
+  *    salt-safe: block sizes are capped and AQE skew-join splits stragglers
+  *  - every stage checkpoints to parquet with a manifest written LAST;
+  *    reruns skip completed stages (resume), partial outputs are overwritten
+  */
+object KgPipeline {
+
+  // ---------------------------------------------------------------- sentences
+  /** pages → one row per sentence. Filter non-English pages (input_hint: other
+    * langs pass through untouched, i.e. never enter extraction). The page text
+    * is NEWLINE-joined sentences; splitting on '\n' reproduces each sentence
+    * byte-identically (the per-row invariant). */
+  def sentences(pages: Dataset[Page]): Dataset[SentenceRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.filter($"lang" === "en")
+      .flatMap(p => p.text.split('\n').iterator.zipWithIndex.map { case (s, i) => SentenceRow(p.url, i, s) })
+  }
+
+  // ----------------------------------------------------------------- mentions
+  /** CRF mention extraction: broadcast model, explicit url-hash repartition,
+    * batched per-partition decode, per-partition lineage column + counters. */
+  def mentions(sents: Dataset[SentenceRow], model: CrfModel, partitions: Int = 0): Dataset[MentionRow] = {
+    val spark = sents.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val sentCounter = spark.sparkContext.longAccumulator("kg.sentences")
+    val mentionCounter = spark.sparkContext.longAccumulator("kg.mentions")
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    sents
+      .repartition(p, pmod(xxhash64($"url"), lit(p)))
+      .mapPartitions { iter =>
+        val m = bc.value
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        iter.flatMap { s =>
+          sentCounter.add(1)
+          val toks = RuleTokenizer.tokenizeWithCls(s.text)
+          SpanDecode.process(m, s.text, toks).map { sp =>
+            mentionCounter.add(1)
+            MentionRow(s.url, s.sent_id, sp.start, sp.end, sp.value, sp.entity, sp.confidence, pid)
+          }
+        }
+      }
+  }
+
+  // -------------------------------------------------------------------- links
+  /** Alias-dictionary entity linking: broadcast hash join on the lowercased
+    * surface, kind must match, then rank-1 per mention by score
+    * (Window.partitionBy(mention).orderBy(desc(score))). */
+  def links(mentions: Dataset[MentionRow], alias: DataFrame): DataFrame = {
+    val scored = mentions
+      .join(broadcast(alias), lower(mentions("value")) === alias("alias") &&
+        substring(alias("entity_id"), 1, 3) === mentions("entity"), "inner")
+      .withColumn("score", col("prior") * col("confidence"))
+    val w = Window.partitionBy("url", "sent_id", "start").orderBy(desc("score"), asc("entity_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("url", "sent_id", "start", "end", "value", "entity", "entity_id", "score")
+  }
+
+  // ---------------------------------------------------------------- canonical
+  /** Canonicalization: connected components over a blocked similarity join of
+    * distinct mention surfaces, plus surface→linked-id edges, so surface
+    * variants and their dictionary entities land in one component.
+    *
+    * Blocking key = lowercased first token; candidate pairs within a block are
+    * kept when char-3-gram Jaccard ≥ 0.5. Distinct-surface cardinality is
+    * gazetteer-sized (≪ corpus), the join is blocked, and the groupBy feeding
+    * it is a salted two-phase count — safe at 10^12 docs because it only ever
+    * sees DISTINCT surfaces. */
+  def canonical(mentions: Dataset[MentionRow], links: DataFrame): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+
+    // distinct surfaces, salted pre-aggregation (hot surfaces on hot domains)
+    val surfaces = mentions
+      .withColumn("salt", pmod(xxhash64($"url"), lit(64)))
+      .groupBy($"entity", lower($"value").as("surface"), $"salt").agg(count(lit(1)).as("c0"))
+      .groupBy($"entity", $"surface").agg(sum($"c0").as("n_mentions"))
+      .withColumn("node", concat($"entity", lit(":"), $"surface"))
+
+    val withBlock = surfaces.withColumn("block", concat($"entity", lit(":"), split($"surface", " ").getItem(0)))
+
+    val a = withBlock.select($"block", $"node".as("node_a"), $"surface".as("surf_a"))
+    val b = withBlock.select($"block", $"node".as("node_b"), $"surface".as("surf_b"))
+    val simPairs = a.join(b, "block")
+      .filter($"node_a" < $"node_b")
+      .filter(jaccard3($"surf_a", $"surf_b") >= 0.5)
+      .select($"node_a", $"node_b")
+
+    // surface → linked entity id edges
+    val linkEdges = links
+      .select(concat($"entity", lit(":"), lower($"value")).as("node_a"),
+        concat(lit("ID:"), $"entity_id").as("node_b"))
+      .distinct()
+
+    val allNodes = surfaces.select($"node").union(linkEdges.select($"node_a"))
+      .union(linkEdges.select($"node_b")).distinct()
+    val edges = simPairs.union(linkEdges)
+
+    val cc = ConnectedComponents.run(allNodes, edges)
+    // canon_id = representative node per component
+    cc.join(surfaces, cc("node") === surfaces("node"))
+      .select(surfaces("entity"), surfaces("surface"), surfaces("n_mentions"),
+        cc("canon_id"))
+  }
+
+  /** char-3-gram Jaccard as a Column expression (codegen-friendly: pure
+    * built-in higher-order functions, no UDF). */
+  private def jaccard3(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def grams(c: org.apache.spark.sql.Column) =
+      array_distinct(transform(sequence(lit(1), greatest(length(c) - 2, lit(1))),
+        i => c.substr(i, lit(3))))
+    val gx = grams(x); val gy = grams(y)
+    val inter = size(array_intersect(gx, gy)).cast("double")
+    val uni = size(array_union(gx, gy)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+
+  // ------------------------------------------------------------------ triples
+  /** Relation extraction + salted dedup. Linked mentions are grouped per
+    * sentence (collect_list is safe: ≤ a handful of mentions per sentence),
+    * joined back to sentence text, and each ordered pair is matched against
+    * the relation patterns on the text BETWEEN the two mentions. */
+  def triples(links: DataFrame, sents: Dataset[SentenceRow]): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+
+    val perSentence = links
+      .groupBy($"url", $"sent_id")
+      .agg(collect_list(struct($"start", $"end", $"entity", $"entity_id", $"score")).as("ms"))
+      .filter(size($"ms") >= 2)
+
+    val joined = perSentence.join(sents, Seq("url", "sent_id"))
+
+    val pairs = joined.select($"url", $"text", explode(pairCombos($"ms")).as("pr"))
+      .select($"url", $"text",
+        $"pr._1.start".as("s1"), $"pr._1.end".as("e1"), $"pr._1.entity".as("k1"),
+        $"pr._1.entity_id".as("id1"), $"pr._1.score".as("sc1"),
+        $"pr._2.start".as("s2"), $"pr._2.end".as("e2"), $"pr._2.entity".as("k2"),
+        $"pr._2.entity_id".as("id2"), $"pr._2.score".as("sc2"))
+      .filter($"e1" < $"s2")
+      .withColumn("between", expr("substring(text, e1 + 1, s2 - e1)"))
+
+    val pred = when($"k1" === "PER" && $"k2" === "ORG" && $"between".contains("works at"), lit("works_at"))
+      .when($"k1" === "ORG" && $"k2" === "ORG" && $"between".contains("acquired"), lit("acquired"))
+      .when($"k1" === "PER" && $"k2" === "LOC" && $"between".contains("born in"), lit("born_in"))
+      .when($"k1" === "PER" && $"k2" === "PER" && $"between".contains("met"), lit("met"))
+      .when($"k1" === "PER" && $"k2" === "LOC" && $"between".rlike("\\bin\\b"), lit("visited"))
+      .when($"k1" === "ORG" && $"k2" === "LOC" && $"between".rlike("\\bin\\b"), lit("located_in"))
+
+    val raw = pairs
+      .withColumn("pred", pred)
+      .filter($"pred".isNotNull)
+      .select($"id1".as("subj"), $"pred", $"id2".as("obj"), $"url",
+        least($"sc1", $"sc2").as("conf"))
+
+    // salted two-phase dedup: hot (s,p,o) keys pre-aggregate per salt bucket
+    raw
+      .withColumn("salt", pmod(xxhash64($"url"), lit(64)))
+      .groupBy($"subj", $"pred", $"obj", $"salt")
+      .agg(count(lit(1)).as("c0"), max($"conf").as("m0"), approx_count_distinct($"url").as("u0"))
+      .groupBy($"subj", $"pred", $"obj")
+      .agg(sum($"c0").as("n_sources"), max($"m0").as("conf"), sum($"u0").as("n_urls_approx"))
+  }
+
+  /** All unordered pairs of the (tiny) per-sentence mention array, as a
+    * Column — built-ins only, stays in codegen. */
+  private def pairCombos(ms: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(ms, (m1, i) =>
+      transform(slice(ms, i + 2, lit(1000000)), m2 => struct(m1.as("_1"), m2.as("_2")))))
+
+  // -------------------------------------------------------------------- graph
+  def nodes(canonical: DataFrame, links: DataFrame): DataFrame = {
+    canonical.groupBy(col("canon_id"))
+      .agg(max(col("entity")).as("label"), sum(col("n_mentions")).as("n_mentions"))
+  }
+
+  def edges(triples: DataFrame): DataFrame =
+    triples.select(col("subj").as("src"), col("obj").as("dst"), col("pred"),
+      col("n_sources").cast("double").as("weight"))
+
+  // ----------------------------------------------------------------- training
+  /** Pipeline model config: free-text path (rule tokenizer ⇒ no POS), BILOU on. */
+  val pipelineConfig: CrfConfig = CrfConfig(
+    features = IndexedSeq(
+      IndexedSeq("low", "title", "upper"),
+      IndexedSeq("low", "bias", "prefix5", "prefix2", "suffix5", "suffix3",
+        "suffix2", "upper", "title", "digit", "shape"),
+      IndexedSeq("low", "title", "upper")),
+    c1 = 0.01, c2 = 0.05, maxIter = 300)
+
+  def trainModel(seed: Long = 42L, nTrain: Int = 400): CrfModel =
+    graft.crf.Trainer.trainExamples(PagesGen.trainingExamples(seed, nTrain), pipelineConfig)
+
+  def aliasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Synth.aliasDict.toDF("alias", "entity_id", "prior")
+  }
+}

@@ -1,0 +1,86 @@
+package graft.kg
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** One Common-Crawl-style page (BASELINE.json `input_hint` schema:
+  * url, warc_ts, html, text, lang). */
+case class Page(url: String, warc_ts: java.sql.Timestamp, html: Array[Byte],
+                text: String, lang: String)
+
+/** Gold mention for P/R scoring: char offsets into the page's sentence. */
+case class GoldMention(url: String, sent_id: Int, start: Int, end: Int,
+                       value: String, entity: String, entity_id: String)
+
+/** Deterministic generator for the pages table (FIXTURES.md §6).
+  *
+  * Scale-first: generation is a `spark.range(n)` map — no driver-side
+  * materialization, no global RNG (every draw is `splitmix64(seed ^ id)`), so
+  * the same (seed, n) yields the same table at any parallelism, and the
+  * generator itself scales linearly to arbitrarily many executors.
+  *
+  * Skew is built in deliberately (north_rule: skew handled explicitly): two
+  * hot domains receive ~40% of all pages, the rest spread over a long tail —
+  * so domain-keyed operations downstream exercise the salting path.
+  */
+object PagesGen {
+  val HotDomains: IndexedSeq[String] = IndexedSeq("news.example.com", "blog.example.org")
+  val TailDomainCount = 1000
+
+  def domainFor(h: Long): String = {
+    val r = ((h >>> 16) % 100 + 100) % 100
+    if (r < 20) HotDomains(0)
+    else if (r < 40) HotDomains(1)
+    else s"site${((h >>> 32) % TailDomainCount + TailDomainCount) % TailDomainCount}.example.net"
+  }
+
+  /** Sentences per page: 2..9, deterministic. */
+  private def sentCount(h: Long): Int = (((h >>> 24) % 8 + 8) % 8).toInt + 2
+
+  /** Global sentence index space: page i uses sentence ids [i*16, i*16+k). */
+  def pageOf(seed: Long, i: Long): (Page, IndexedSeq[GoldMention]) = {
+    val h = Synth.splitmix64(seed ^ i)
+    val domain = domainFor(h)
+    val url = s"https://$domain/page/$i"
+    val nSents = sentCount(h)
+    val sents = (0 until nSents).map(k => Synth.sentence(seed, i * 16 + k))
+    val text = sents.map(_.text).mkString("\n")
+    val lang = if (((h >>> 40) % 10 + 10) % 10 == 9) "de" else "en"
+    val ts = new java.sql.Timestamp(1672531200000L + (((h >>> 8) % 31536000L + 31536000L) % 31536000L) * 1000L)
+    val html = (s"<html><head><title>page $i</title></head><body><p>" +
+      sents.map(_.text).mkString("</p><p>") + "</p></body></html>").getBytes("UTF-8")
+    val gold = sents.zipWithIndex.flatMap { case (s, k) =>
+      s.spans.zip(s.ents).map { case (sp, (_, _, _, eid)) =>
+        GoldMention(url, k, sp.start, sp.end, sp.value, sp.entity, eid)
+      }
+    }
+    (Page(url, ts, html, text, lang), gold)
+  }
+
+  def pages(spark: SparkSession, n: Long, seed: Long = 42L,
+            parallelism: Int = 0): Dataset[Page] = {
+    import spark.implicits._
+    val p = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    spark.range(0, n, 1, p).map(i => pageOf(seed, i)._1)
+  }
+
+  def gold(spark: SparkSession, n: Long, seed: Long = 42L,
+           parallelism: Int = 0): Dataset[GoldMention] = {
+    import spark.implicits._
+    val p = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
+    // non-English pages pass through untouched (input_hint) — they are out of
+    // extraction scope, so they carry no gold mentions either
+    spark.range(0, n, 1, p).flatMap { i =>
+      val (page, g) = pageOf(seed, i)
+      if (page.lang == "en") g else IndexedSeq.empty
+    }
+  }
+
+  /** Training corpus for the pipeline model: free-text examples drawn from a
+    * DISJOINT sentence-id space (negative branch) so the model never trains on
+    * eval pages. */
+  def trainingExamples(seed: Long, n: Int): IndexedSeq[graft.crf.Example] =
+    (0 until n).map { k =>
+      val s = Synth.sentence(seed, -1000000L - k)
+      graft.crf.Example(s.text, IndexedSeq.empty, s.spans)
+    }
+}

@@ -116,7 +116,15 @@ object Synth {
       Sent(plain(pick(fillers, h2(1))), IndexedSeq.empty, IndexedSeq.empty)
     } else if (kind < 50) {
       val (per, perId) = ent(pick(persons, h2(1)), "PER")
-      val (org, orgId) = ent(pick(orgs, h2(2)), "ORG")
+      // ~30% short-form org surface ("Acme" for "Acme Corp") with the SAME
+      // entity id — the variant canonicalization must re-unify downstream
+      val orgFull = pick(orgs, h2(2))
+      val (org, orgId) = {
+        val full = ent(orgFull, "ORG")
+        if (orgFull.contains(' ') && (h2(7) % 10 + 10) % 10 < 3)
+          (IndexedSeq((orgFull.split(' ')(0), "NNP")), full._2)
+        else full
+      }
       val (loc, locId) = ent(pick(locs, h2(3)), "LOC")
       val toks = per ++ plain("works at") ++ org ++ plain("in") ++ loc ++ plain(".")
       Sent(toks,

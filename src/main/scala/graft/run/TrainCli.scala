@@ -73,9 +73,11 @@ private[run] object Cli {
     var i = 0
     while (i < args.length) {
       val a = args(i)
-      if (a.startsWith("--")) { opts(a) = "true"; i += 1 }
-      else if (a.startsWith("-")) { opts(a) = args(i + 1); i += 2 }
-      else { pos += a; i += 1 }
+      if (a.startsWith("-")) {
+        // value-taking option when a non-dash token follows; bare flag otherwise
+        if (i + 1 < args.length && !args(i + 1).startsWith("-")) { opts(a) = args(i + 1); i += 2 }
+        else { opts(a) = "true"; i += 1 }
+      } else { pos += a; i += 1 }
     }
     (opts.toMap, pos.result())
   }

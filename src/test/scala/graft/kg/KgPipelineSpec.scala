@@ -1,0 +1,76 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.run.PipelineCli
+
+/** End-to-end KG pipeline tests (SURVEY §5 items e): synthetic pages → triples
+  * with the BASELINE gates (mention P/R ≥ 0.95) and checkpoint-resume
+  * idempotence (delete a stage, rerun, identical final triples). */
+class KgPipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  val outRoot: String = java.nio.file.Files.createTempDirectory("kgspec").toString
+  val nPages = 400L
+
+  lazy val result: PipelineCli.Result =
+    PipelineCli.run(spark, outRoot, nPages, log = _ => ())
+
+  test("pipeline runs all stages and meets the P/R >= 0.95 gate") {
+    assert(result.nSentences > 0)
+    assert(result.nMentions > 0)
+    assert(result.nTriples > 0)
+    assert(result.mentionP >= 0.95, s"precision ${result.mentionP}")
+    assert(result.mentionR >= 0.95, s"recall ${result.mentionR}")
+  }
+
+  test("per-row invariant: extracted mention values are byte-identical slices of page text") {
+    result // ensure ran
+    val sents = spark.read.parquet(s"$outRoot/sentences")
+    val mentions = spark.read.parquet(s"$outRoot/mentions")
+    val bad = mentions.join(sents, Seq("url", "sent_id"))
+      .filter(expr("substring(text, start + 1, end - start) <> value"))
+      .count()
+    assert(bad === 0)
+    // and sentences reassemble to the exact page text
+    val pages = spark.read.parquet(s"$outRoot/pages")
+    val reassembled = sents.groupBy("url")
+      .agg(concat_ws("\n", array_sort(collect_list(struct(col("sent_id"), col("text"))))
+        .getField("text")).as("retext"))
+    val mismatch = pages.join(reassembled, Seq("url"))
+      .filter(col("text") =!= col("retext")).count()
+    assert(mismatch === 0)
+  }
+
+  test("mentions carry partition lineage and links are rank-1 per mention") {
+    result
+    val mentions = spark.read.parquet(s"$outRoot/mentions")
+    assert(mentions.select("partition_id").distinct().count() > 1)
+    val links = spark.read.parquet(s"$outRoot/links")
+    val dup = links.groupBy("url", "sent_id", "start").count().filter(col("count") > 1).count()
+    assert(dup === 0)
+  }
+
+  test("checkpoint resume: deleting a mid-pipeline stage reproduces identical triples") {
+    result
+    def snapshot() = spark.read.parquet(s"$outRoot/triples")
+      .orderBy("subj", "pred", "obj").collect().map(_.toString).toSeq
+    val before = snapshot()
+    Checkpoints.invalidate(outRoot, "triples")
+    Checkpoints.invalidate(outRoot, "links")
+    assert(!Checkpoints.isComplete(outRoot, "links"))
+    val r2 = PipelineCli.run(spark, outRoot, nPages, log = _ => ())
+    assert(r2.nTriples === result.nTriples)
+    assert(snapshot() === before)
+  }
+
+  test("canonicalization groups surface variants with their linked entity") {
+    result
+    val canonical = spark.read.parquet(s"$outRoot/canonical")
+    // every surface got a canon id; components are non-trivial (aliases like
+    // "acme corp" vs "acme" share one)
+    assert(canonical.filter(col("canon_id").isNull).count() === 0)
+    val grouped = canonical.groupBy("canon_id").count()
+    assert(grouped.filter(col("count") > 1).count() > 0)
+  }
+}
