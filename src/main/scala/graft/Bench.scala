@@ -1,24 +1,64 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR at SPARK_GRAFT_CPUS, plus the KG pipeline's
+  * docs/sec + triples/sec throughput. Prints ONE JSON line. */
 object Bench {
+
+  def session(cpus: String): SparkSession = SparkSession.builder()
+    .master(s"local[$cpus]")
+    .appName("graft-bench")
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** KG throughput: pages → sentences → mentions → links → triples, all
+    * in-memory (no checkpoint IO — this measures compute, not disk). */
+  def kgThroughput(spark: SparkSession, nPages: Long): (Double, Double, Long) = {
+    import spark.implicits._
+    val model = kgModelCached
+    val t0 = System.nanoTime()
+    val pages = graft.kg.PagesGen.pages(spark, nPages, 42L)
+    val sents = graft.kg.KgPipeline.sentences(pages)
+    val mentions = graft.kg.KgPipeline.mentions(sents, model)
+    val links = graft.kg.KgPipeline.links(mentions, graft.kg.KgPipeline.aliasDf(spark))
+    val triples = graft.kg.KgPipeline.triples(links, sents)
+    val nTriples = triples.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    (nPages / wall, nTriples / wall, nTriples)
+  }
+
+  lazy val kgModelCached: graft.crf.CrfModel = graft.kg.KgPipeline.trainModel(42L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20000").toLong
+    val spark = session(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // train the CRF model once and warm the session (parquet reader, AQE,
+    // codegen infra) outside the timed region — otherwise the first query
+    // pays ~6 s of one-time setup
+    kgModelCached
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val (docsPerSec, triplesPerSec, nTriples) = kgThroughput(spark, nPages)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"kg_pages":$nPages,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_triples":$nTriples}""")
     spark.stop()
   }
 }

@@ -1,13 +1,340 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY §2 inventory + the engine-side scale ops), with a DuckDB oracle
+  * for everything ANSI-SQL-expressible. Column names are aligned between the
+  * Spark plan and the oracle SQL (the driver sorts columns by name and
+  * hashes values).
+  *
+  * Double-typed money aggregates are cast to DECIMAL(18,2) BEFORE summing on
+  * both sides so the compare is exact (float summation order differs between
+  * engines); ratio outputs are rounded to fixed decimals on both sides. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** documents ∪ a deterministic near-duplicate of every doc (one token
+    * appended, id shifted) — gives the dedup/similarity operators real work
+    * on the fixed-size documents table. Same construction in the oracles. */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    d.union(d.select(col("doc_id") + 1000000, concat(col("text"), lit(" extratoken"))))
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q01_agg")(spark, "/root/testdata/sf0.001")
+
+  // ======================================================================
+  // Relational core (Catalyst built-ins; SURVEY §2.5)
+  // ======================================================================
+
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          count(lit(1)).as("n_rows"))
+    }),
+    "q02_join_agg" -> ((s, dir) => {
+      // multi-way join: lineitem ⨝ orders ⨝ customer ⨝ nation; revenue/nation.
+      // customer+nation are small → Catalyst broadcasts them (AQE verified).
+      t(s, dir, "lineitem").join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)")).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+    }),
+    "q03_broadcast_join" -> ((s, dir) => {
+      t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+    "q04_window_topn" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders").withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+    }),
+    "q05_sort_limit" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").cast("decimal(18,2)").as("price"))
+    }),
+    "q06_setops" -> ((s, dir) => {
+      val withOrders = t(s, dir, "orders").select(col("o_custkey").as("custkey")).distinct()
+      val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      withOrders.except(building)
+    }),
+    "q07_semi_anti" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_with_orders"))
+      val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n_without_orders"))
+      withO.join(noO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_orders"), lit(0)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0)).as("n_without_orders"))
+    }),
+    "q08_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"), count(lit(1)).as("n"))
+    }),
+    "q09_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+    }),
+    "q10_sessionize" -> ((s, dir) => {
+      // session = gap > 30 min starts a new one (lag + running sum) — the
+      // classic event-log sessionization, all window functions.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1).otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+    "q11_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    }))
+
+  private val relationalSql: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         count(*) AS n_rows
+         FROM lineitem GROUP BY 1, 2""",
+    "q02_join_agg" ->
+      """SELECT n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue,
+         count(*) AS n_lineitems
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY 1""",
+    "q03_broadcast_join" ->
+      """SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
+    "q04_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn <= 3""",
+    "q05_sort_limit" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "q06_setops" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+         EXCEPT
+         SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    "q07_semi_anti" ->
+      """WITH w AS (SELECT c_mktsegment, count(*) AS n_with_orders FROM customer
+                    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1),
+            wo AS (SELECT c_mktsegment, count(*) AS n_without_orders FROM customer
+                   WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) GROUP BY 1)
+         SELECT coalesce(w.c_mktsegment, wo.c_mktsegment) AS c_mktsegment,
+                coalesce(n_with_orders, 0) AS n_with_orders,
+                coalesce(n_without_orders, 0) AS n_without_orders
+         FROM w FULL OUTER JOIN wo ON w.c_mktsegment = wo.c_mktsegment""",
+    "q08_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+         FROM lineitem GROUP BY 1""",
+    "q09_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "q10_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+                    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                    FROM events),
+            f AS (SELECT user_id,
+                  CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
+                       THEN 1 ELSE 0 END AS new_sess FROM g)
+         SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+         FROM f GROUP BY 1""",
+    "q11_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
+
+  // ======================================================================
+  // Text analysis + dedup + similarity + multimodal (engine-side scale ops)
+  // ======================================================================
+
+  private def dupsUnionSql: String =
+    """SELECT doc_id, text FROM documents
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id, text || ' extratoken' AS text FROM documents"""
+
+  private val opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_textstats" -> ((s, dir) => TextStats.stats(t(s, dir, "documents"))),
+    "q21_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsWithDups(s, dir).union(
+      // plant exact duplicates too: a second copy of every 10th doc
+      t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id") + 2000000, col("text"))))),
+    "q22_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000)),
+    "q23_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
+    "q24_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashDupPairs(docsWithDups(s, dir), maxDist = 3)),
+    "q25_langid" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"),
+        TextStats.isEnglishHeuristic(col("text")).as("is_en"))),
+    "q30_ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)
+    }),
+    "q31_ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nBits = 4)
+    }),
+    "q32_embed_dups" -> ((s, dir) => {
+      // embeddings ∪ perturbed copies → guaranteed near-dups for the operator
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          (v + when(i === 0, lit(0.01f)).otherwise(lit(0.0f))).cast("float")).as("embedding"))
+      Similarity.cosineDupPairs(emb.union(perturbed), threshold = 0.98, nBits = 8)
+    }),
+    "q40_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(t(s, dir, "documents"))),
+    "q41_media_decode" -> ((s, dir) => Multimodal.decodeMeta(t(s, dir, "documents")).toDF()))
+
+  private val opsSql: Map[String, String] = Map(
+    "q20_textstats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
+              ELSE length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
+                   / length(regexp_replace(text, '\s', '', 'g')) END, 4) AS punct_ratio,
+         round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0.0
+              ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+                   / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 4) AS stopword_ratio,
+         round((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+             + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                   x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+                   / len(regexp_split_to_array(lower(trim(text)), '\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
+             + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
+                   / length(regexp_replace(text, '\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
+             + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                   / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2) AS quality,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+         FROM documents""",
+    "q21_dedup_exact" ->
+      s"""WITH alldocs AS ($dupsUnionSql
+           UNION ALL
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+                count(*) AS n_docs, min(doc_id) AS keep_doc_id
+         FROM alldocs GROUP BY 1 HAVING count(*) > 1""",
+    "q25_langid" ->
+      """SELECT doc_id,
+         round(CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0.0
+               ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+                    / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 4) AS stopword_ratio,
+         (CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\s+')) = 0 THEN 0.0
+               ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+                    x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+                    / len(regexp_split_to_array(lower(trim(text)), '\s+')) END) >= 0.08 AS is_en
+         FROM documents""",
+    "q22_jaccard_pairs" ->
+      s"""WITH alldocs AS ($dupsUnionSql),
+            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM alldocs),
+            sh AS (SELECT doc_id,
+                   CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+                   END AS s FROM toks),
+            posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+            capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM posting)
+                       WHERE df <= 2000),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+                      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2, 3, 4)
+         SELECT a AS doc_a, b AS doc_b,
+                round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+         FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""",
+    "q30_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+            scored AS (SELECT query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(qv, e.embedding) AS cos
+                       FROM q, embeddings e WHERE e.vec_id <> query_id),
+            r AS (SELECT query_id, neighbor_id, cos,
+                  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+                  FROM scored)
+         SELECT query_id, rnk, neighbor_id, round(cos, 4) AS cos FROM r WHERE rnk <= 5""",
+    "q40_multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+         substring(to_base64(encode(text)), 1, 8) AS magic_b64
+         FROM documents""")
+
+  // ======================================================================
+  // KG pipeline stages (not SQL-expressible → driver rows-only check;
+  // correctness is gated by KgPipelineSpec's P/R + invariant tests)
+  // ======================================================================
+
+  private lazy val kgModel = graft.kg.KgPipeline.trainModel(42L)
+  private val KgPages = 300L
+
+  private def kgMentions(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val pages = graft.kg.PagesGen.pages(s, KgPages, 42L)
+    val sents = graft.kg.KgPipeline.sentences(pages)
+    graft.kg.KgPipeline.mentions(sents, kgModel).toDF()
+      .withColumn("confidence", round(col("confidence"), 4))
+  }
+
+  private val kgQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_kg_mentions" -> ((s, _) => kgMentions(s).drop("partition_id")),
+    "q51_kg_links" -> ((s, _) => {
+      import s.implicits._
+      graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
+        graft.kg.KgPipeline.aliasDf(s)).withColumn("score", round(col("score"), 4))
+    }),
+    "q52_kg_triples" -> ((s, _) => {
+      import s.implicits._
+      val pages = graft.kg.PagesGen.pages(s, KgPages, 42L)
+      val sents = graft.kg.KgPipeline.sentences(pages)
+      val links = graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
+        graft.kg.KgPipeline.aliasDf(s))
+      graft.kg.KgPipeline.triples(links, sents)
+        .withColumn("conf", round(col("conf"), 4)).drop("n_urls_approx")
+    }),
+    "q53_kg_canonical" -> ((s, _) => {
+      import s.implicits._
+      val mentions = kgMentions(s).as[graft.kg.MentionRow]
+      val links = graft.kg.KgPipeline.links(mentions, graft.kg.KgPipeline.aliasDf(s))
+      graft.kg.KgPipeline.canonical(mentions, links)
+    }))
+
+  // ======================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ opsQueries ++ kgQueries
+
+  def oracleSql: Map[String, String] = relationalSql ++ opsSql
 }

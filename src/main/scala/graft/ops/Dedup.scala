@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora: exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash. Everything is expressed with built-in (codegen'd)
+  * column functions and standard shuffles — no UDFs, no driver loops — so the
+  * same plan runs at 10^12 docs.
+  *
+  * Scale notes per operator:
+  *  - exact: one hash-aggregate on a 16-byte key (map-side partial combine)
+  *  - ngram-Jaccard: inverted-index join on shingles, with a stop-shingle cap
+  *    (shingles occurring in > maxDf docs are dropped BEFORE the join — the
+  *    standard guard against quadratic blowup on boilerplate)
+  *  - MinHash LSH: candidates from banded signatures — cost is O(docs ×
+  *    bands), never O(docs²); candidates verified with exact Jaccard
+  *  - SimHash: 64-bit signature per doc, Hamming-≤k pairs via the pigeonhole
+  *    band join (k+1 chunks, one must match exactly)
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+  /** Exact duplicate groups by normalized-text fingerprint. */
+  def exactGroups(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(TextStats.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Keep-first exact dedup: survivors only. */
+  def exactDedup(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(TextStats.fingerprint(col(textCol))).orderBy(col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  // --------------------------------------------------- token-ngram shingles
+  /** Distinct word-n-gram shingles of the lowercased text, as an array col. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val k = size(toks) - (n - 1)
+    when(k <= 0, array_distinct(array(concat_ws(" ", toks))))
+      .otherwise(array_distinct(transform(sequence(lit(1), k),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+  /** Near-duplicate pairs with token-n-gram Jaccard ≥ `threshold`, via an
+    * inverted-index join. `maxDf` drops boilerplate shingles before the join
+    * (documented coverage cap — pairs sharing ONLY ultra-common shingles are
+    * not candidates). */
+  def jaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
+                   maxDf: Int = 50, textCol: String = "text"): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+    val posting = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val filtered = posting
+      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
+      .filter(col("df") <= maxDf)
+    val a = filtered.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
+    val b = filtered.select(col("shingle"), col("doc_id").as("b"), col("n_sh").as("nb"))
+    a.join(b, "shingle")
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ MinHash LSH
+  /** k minhash values per doc: permutation i = xxhash64 of (shingle-hash, i)
+    * (ANSI mode forbids the classic wrapping affine transform; per-seed
+    * hashing is equivalent and overflow-free).
+    *
+    * Computed as ONE aggregate pass over the shingle hashes with an array
+    * accumulator — k separate `array_min(transform(...))` expressions would
+    * re-inline (and re-evaluate) the shingle pipeline k times after project
+    * collapse, which benchmarked ~40× slower. */
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
+    val hs = transform(shingles(text, n), s => xxhash64(s))
+    aggregate(hs, array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc,
+        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(h, i)),
+        (a, b) => least(a, b)))
+  }
+
+  /** LSH candidate pairs from banded minhash signatures, verified with exact
+    * Jaccard ≥ threshold. bands × rowsPerBand must equal k. */
+  def minhashDupPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 32,
+                      bands: Int = 8, n: Int = 3, textCol: String = "text"): DataFrame = {
+    require(k % bands == 0)
+    val r = k / bands
+    val withSig = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"),
+      minhashSignature(col(textCol), k, n).as("sig"))
+    val banded = withSig.select(col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(concat_ws(",", transform(slice(col("sig"), bnd * r + lit(1), lit(r)), v => v.cast("string")))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("shb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("sha"), col("shb"))
+      .dropDuplicates("a", "b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // --------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over word-unigram hashes, represented as an array<int> of
+    * bits: per bit, sign of the sum of ±1 votes. The per-hash bit vector is
+    * read off the value's binary-string rendering (two's complement — `bin`
+    * pads negatives to 64 ones/zeros), which keeps everything in built-in
+    * higher-order functions with no variable-shift operators. */
+  def simhashBits(text: Column): Column = {
+    val hs = transform(array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t))
+    // one split per hash (64 substr calls per hash benchmarked ~10× slower)
+    def bits(h: Column): Column =
+      transform(split(lpad(bin(h), 64, "0"), ""), c => when(c === "1", lit(1)).otherwise(lit(-1)))
+    val counts = aggregate(hs, array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, slice(bits(h), 1, 64), _ + _))
+    transform(counts, c => when(c >= 0, lit(1)).otherwise(lit(0)))
+  }
+
+  /** Near-dup pairs with Hamming(simhash) ≤ maxDist via pigeonhole banding:
+    * split the 64-bit signature into maxDist+1 chunks; any pair within
+    * distance must agree exactly on ≥1 chunk.
+    *
+    * Docs are first collapsed to DISTINCT signatures (duplicate-heavy corpora
+    * otherwise blow the band join up quadratically — docs sharing a signature
+    * pair at distance 0 by construction and never enter the join). */
+  def simhashDupPairs(docs: DataFrame, maxDist: Int = 3, textCol: String = "text"): DataFrame = {
+    val chunks = maxDist + 1
+    val width = 64 / chunks
+    val withSig = docs.select(col("doc_id"), simhashBits(col(textCol)).as("sig"))
+      .withColumn("sigstr", concat_ws("", col("sig")))
+    val sigGroups = withSig.groupBy(col("sigstr")).agg(
+      first(col("sig")).as("sig"), sort_array(collect_list(col("doc_id"))).as("docs"))
+
+    // within-signature pairs: distance 0
+    val within = sigGroups.filter(size(col("docs")) > 1)
+      .select(explode(pairCombos(col("docs"))).as("p"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"), lit(0).as("dist"))
+
+    // cross-signature pairs via pigeonhole bands over distinct signatures
+    val banded = sigGroups.select(col("sigstr"), col("sig"), col("docs"),
+      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+        i => concat_ws("", slice(col("sig"), i * width + lit(1), lit(width))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val a = banded.select(col("band"), col("chunk"), col("sigstr").as("stra"),
+      col("sig").as("siga"), col("docs").as("docsa"))
+    val b = banded.select(col("band"), col("chunk"), col("sigstr").as("strb"),
+      col("sig").as("sigb"), col("docs").as("docsb"))
+    val cross = a.join(b, Seq("band", "chunk"))
+      .filter(col("stra") < col("strb"))
+      .dropDuplicates("stra", "strb")
+      .withColumn("dist", aggregate(zip_with(col("siga"), col("sigb"),
+        (x, y) => abs(x - y)), lit(0), (acc, v) => acc + v))
+      .filter(col("dist") <= maxDist)
+      .select(explode(crossCombos(col("docsa"), col("docsb"))).as("p"), col("dist"))
+      .select(least(col("p._1"), col("p._2")).as("doc_a"),
+        greatest(col("p._1"), col("p._2")).as("doc_b"), col("dist"))
+
+    within.union(cross)
+  }
+
+  /** All unordered pairs within one array (tiny arrays only). */
+  private def pairCombos(xs: Column): Column =
+    flatten(transform(xs, (x, i) =>
+      // length must keep start+length inside Int range (Slice overflows
+      // silently on Int.MaxValue) — 1e6 is far beyond any per-group size here
+      transform(slice(xs, i + lit(2), lit(1000000)), y => struct(x.as("_1"), y.as("_2")))))
+
+  /** Cross product of two (tiny) arrays. */
+  private def crossCombos(xs: Column, ys: Column): Column =
+    flatten(transform(xs, x => transform(ys, y => struct(x.as("_1"), y.as("_2")))))
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Correctness tests for the scale operators: planted duplicates must be
+  * found, LSH candidates must cover the exact result, ANN must agree with
+  * brute force on recalled items. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // 40 base docs from a 30-word vocab + 10 near-dup copies (one word changed)
+  // + 5 exact copies
+  lazy val docs = {
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    val base = (0 until 40).map { i =>
+      val words = (0 until 30).map(j => vocab((graft.kg.Synth.splitmix64(i * 100 + j) % 26 + 26).toInt % 26))
+      (i.toLong, words.mkString(" "))
+    }
+    val nearDups = base.take(10).map { case (id, t) =>
+      (id + 1000L, t.split(" ").updated(5, "CHANGED").mkString(" "))
+    }
+    val exactDups = base.take(5).map { case (id, t) => (id + 2000L, t) }
+    (base ++ nearDups ++ exactDups).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds exactly the planted exact duplicates") {
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.length === 5)
+    assert(groups.forall(_.getAs[Long]("n_docs") == 2))
+    val survivors = Dedup.exactDedup(docs)
+    assert(survivors.count() === 50) // 55 - 5 exact copies
+  }
+
+  test("ngram jaccard finds planted near-dups (and exact dups at 1.0)") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5, maxDf = 1000).collect()
+    val pairSet = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 10) assert(pairSet.contains((i.toLong, i + 1000L)), s"near-dup $i missing")
+    for (i <- 0 until 5) assert(pairSet.contains((i.toLong, i + 2000L)), s"exact-dup $i missing")
+    // exact copies score 1.0 against their twin
+    assert(pairs.filter(r => r.getLong(1) == r.getLong(0) + 2000L)
+      .forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  test("minhash LSH candidates cover the exact jaccard result at 0.5") {
+    val exact = Dedup.jaccardPairs(docs, threshold = 0.5, maxDf = 1000)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDupPairs(docs, threshold = 0.5, k = 32, bands = 16)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 16 bands × 2 rows ⇒ P(candidate | s=0.5) = 1-(1-0.25)^16 ≈ 0.99
+    assert(exact.subsetOf(lsh), s"missing: ${exact -- lsh}")
+  }
+
+  test("simhash pairs include exact duplicates at distance 0") {
+    val pairs = Dedup.simhashDupPairs(docs, maxDist = 3).collect()
+    val d0 = pairs.filter(_.getAs[Int]("dist") == 0).map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 5) assert(d0.contains((i.toLong, i + 2000L)))
+  }
+
+  test("brute-force ANN: self-similar perturbed vector is rank 1") {
+    val vecs = (0 until 100).map { i =>
+      val v = (0 until 16).map(d => ((graft.kg.Synth.splitmix64(i * 31 + d) % 1000) / 500.0 - 1.0).toFloat).toArray
+      (i.toLong, v)
+    }
+    val perturbed = vecs.take(3).map { case (id, v) =>
+      (id + 500L, v.updated(0, v(0) + 0.001f))
+    }
+    val df = (vecs ++ perturbed).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(df, df.filter($"vec_id" < 3), k = 1).collect()
+    for (r <- top) assert(r.getAs[Long]("neighbor_id") === r.getAs[Long]("query_id") + 500L)
+    assert(top.forall(_.getAs[Double]("cos") >= 0.9999))
+  }
+
+  test("textstats quality and fingerprint behave") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the hill"),
+      (2L, "x"),
+      (3L, "the   quick\tbrown fox jumps over the lazy dog and runs to the hill")).toDF("doc_id", "text")
+    val s = TextStats.stats(df).collect().map(r => r.getLong(0) -> r).toMap
+    assert(s(1L).getAs[Double]("quality") >= 0.9)
+    assert(s(2L).getAs[Double]("quality") <= 0.4)
+    // fingerprint is whitespace-normalized: 1 and 3 collide
+    assert(s(1L).getAs[String]("fingerprint") === s(3L).getAs[String]("fingerprint"))
+  }
+
+  test("multimodal decode stub: deterministic metadata, byte length matches payload") {
+    val df = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(df, partitions = 2).collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).n_bytes === 11)
+    assert(meta(2L).n_bytes === 0)
+    val again = Multimodal.decodeMeta(df, partitions = 2).collect().map(m => m.doc_id -> m).toMap
+    assert(meta === again)
+  }
+}
