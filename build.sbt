@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Scaling-bench support: make the JVM believe it has N cores (GC threads,
+  // thread pools, Runtime.availableProcessors) — the faithful emulation of an
+  // N-core executor when comparing parallelism levels on one box.
+  sys.env.get("SPARK_GRAFT_APC").map(n => s"-XX:ActiveProcessorCount=$n").toSeq

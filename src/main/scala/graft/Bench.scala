@@ -17,12 +17,14 @@ object Bench {
     .getOrCreate()
 
   /** KG throughput: pages → sentences → mentions → links → triples, all
-    * in-memory (no checkpoint IO — this measures compute, not disk). */
-  def kgThroughput(spark: SparkSession, nPages: Long): (Double, Double, Long) = {
+    * in-memory (no checkpoint IO — this measures compute, not disk).
+    * density=8 ⇒ ~38 sentences/page: realistic web-page-sized documents,
+    * compute-dense relative to per-row shuffle overhead. */
+  def kgThroughput(spark: SparkSession, nPages: Long, density: Int = 8): (Double, Double, Long) = {
     import spark.implicits._
     val model = kgModelCached
     val t0 = System.nanoTime()
-    val pages = graft.kg.PagesGen.pages(spark, nPages, 42L)
+    val pages = graft.kg.PagesGen.pages(spark, nPages, 42L, density = density)
     val sents = graft.kg.KgPipeline.sentences(pages)
     val mentions = graft.kg.KgPipeline.mentions(sents, model)
     val links = graft.kg.KgPipeline.links(mentions, graft.kg.KgPipeline.aliasDf(spark))
@@ -33,6 +35,19 @@ object Bench {
   }
 
   lazy val kgModelCached: graft.crf.CrfModel = graft.kg.KgPipeline.trainModel(42L)
+
+  /** Extraction-only throughput: pages → sentences → CRF mentions (the
+    * data-proportional stage that dominates at real corpus sizes). */
+  def mentionThroughput(spark: SparkSession, nPages: Long, density: Int = 8): (Double, Double, Long) = {
+    val model = kgModelCached
+    val t0 = System.nanoTime()
+    val pages = graft.kg.PagesGen.pages(spark, nPages, 42L, density = density)
+    val sents = graft.kg.KgPipeline.sentences(pages)
+    // partitions = -1: generator output is already evenly url-distributed
+    val nMentions = graft.kg.KgPipeline.mentions(sents, model, partitions = -1).count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    (nPages / wall, nMentions / wall, nMentions)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

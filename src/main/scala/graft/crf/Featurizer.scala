@@ -64,9 +64,36 @@ object Featurizer {
     toCrfTokens(tokens, Some(tags))
   }
 
+  /** Atoms one window SLOT contributes for one token (factored out so the
+    * decoder can cache per-(slot, token) contributions). `prefix` is the
+    * offset rendered as a string ("-1"/"0"/"1"). */
+  def slotAtoms(token: CrfToken, prefix: String, features: IndexedSeq[String],
+                out: scala.collection.mutable.ArrayBuffer[FeatAtom]): Unit = {
+    for (feature <- features) {
+      if (feature == "pattern") {
+        for ((pName, matched) <- token.pattern)
+          if (matched) out += FeatAtom(s"$prefix:pattern:$pName", 1.0)
+      } else if (feature == "dense_features") {
+        var i = 0
+        while (i < token.dense.length) {
+          if (token.dense(i) != 0.0)
+            out += FeatAtom(s"$prefix:dense_features:text_dense_features:$i", token.dense(i))
+          i += 1
+        }
+      } else featureValue(feature, token) match {
+        case s: String  => out += FeatAtom(s"$prefix:$feature:$s", 1.0)
+        case true       => out += FeatAtom(s"$prefix:$feature", 1.0)
+        case false      => // weight 0 — contributes nothing
+        case null       => out += FeatAtom(s"$prefix:$feature:None", 1.0)
+        case other      => throw new IllegalStateException(s"unexpected feature value $other")
+      }
+    }
+  }
+
   /** Reference `_features_for_token` (`crf_extractor.py:513-549`): the ±window
     * feature expansion. Window size = number of configured slots; out-of-range
-    * left ⇒ bare `BOS`, right ⇒ bare `EOS`. */
+    * left ⇒ bare `BOS`, right ⇒ bare `EOS` (added once even when several
+    * offsets fall outside — dict-key semantics). */
   def featuresForToken(sent: IndexedSeq[CrfToken], tokenIdx: Int,
                        configured: IndexedSeq[IndexedSeq[String]]): Array[FeatAtom] = {
     val windowSize = configured.length
@@ -82,28 +109,7 @@ object Featurizer {
       } else if (pos < 0) {
         if (!seenBos) { out += FeatAtom("BOS", 1.0); seenBos = true }
       } else {
-        val token = sent(pos)
-        val slot = off + half
-        val prefix = off.toString
-        for (feature <- configured(slot)) {
-          if (feature == "pattern") {
-            for ((pName, matched) <- token.pattern)
-              if (matched) out += FeatAtom(s"$prefix:pattern:$pName", 1.0)
-          } else if (feature == "dense_features") {
-            var i = 0
-            while (i < token.dense.length) {
-              if (token.dense(i) != 0.0)
-                out += FeatAtom(s"$prefix:dense_features:text_dense_features:$i", token.dense(i))
-              i += 1
-            }
-          } else featureValue(feature, token) match {
-            case s: String  => out += FeatAtom(s"$prefix:$feature:$s", 1.0)
-            case true       => out += FeatAtom(s"$prefix:$feature", 1.0)
-            case false      => // weight 0 — contributes nothing
-            case null       => out += FeatAtom(s"$prefix:$feature:None", 1.0)
-            case other      => throw new IllegalStateException(s"unexpected feature value $other")
-          }
-        }
+        slotAtoms(sent(pos), off.toString, configured(off + half), out)
       }
       off += 1
     }

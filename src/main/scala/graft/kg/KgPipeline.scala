@@ -3,8 +3,7 @@ package graft.kg
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.crf.{CrfConfig, CrfModel, SpanDecode}
-import graft.text.RuleTokenizer
+import graft.crf.{CrfConfig, CrfModel}
 
 case class SentenceRow(url: String, sent_id: Int, text: String)
 case class MentionRow(url: String, sent_id: Int, start: Int, end: Int, value: String,
@@ -42,7 +41,10 @@ object KgPipeline {
 
   // ----------------------------------------------------------------- mentions
   /** CRF mention extraction: broadcast model, explicit url-hash repartition,
-    * batched per-partition decode, per-partition lineage column + counters. */
+    * batched per-partition decode, per-partition lineage column + counters.
+    * `partitions = -1` skips the repartition — for inputs already evenly
+    * hash-distributed (e.g. the deterministic generator), the shuffle buys
+    * nothing and its disk IO is a scaling bottleneck. */
   def mentions(sents: Dataset[SentenceRow], model: CrfModel, partitions: Int = 0): Dataset[MentionRow] = {
     val spark = sents.sparkSession
     import spark.implicits._
@@ -50,15 +52,18 @@ object KgPipeline {
     val sentCounter = spark.sparkContext.longAccumulator("kg.sentences")
     val mentionCounter = spark.sparkContext.longAccumulator("kg.mentions")
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
-    sents
-      .repartition(p, pmod(xxhash64($"url"), lit(p)))
+    val distributed =
+      if (partitions < 0) sents
+      else sents.repartition(p, pmod(xxhash64($"url"), lit(p)))
+    distributed
       .mapPartitions { iter =>
-        val m = bc.value
+        // one decoder per partition: per-(slot, token) contribution cache
+        // (Zipfian hit rates) — no per-row model or cache setup
+        val decoder = new graft.crf.CrfDecoder(bc.value)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         iter.flatMap { s =>
           sentCounter.add(1)
-          val toks = RuleTokenizer.tokenizeWithCls(s.text)
-          SpanDecode.process(m, s.text, toks).map { sp =>
+          decoder.process(s.text).map { sp =>
             mentionCounter.add(1)
             MentionRow(s.url, s.sent_id, sp.start, sp.end, sp.value, sp.entity, sp.confidence, pid)
           }
@@ -68,18 +73,26 @@ object KgPipeline {
 
   // -------------------------------------------------------------------- links
   /** Alias-dictionary entity linking: broadcast hash join on the lowercased
-    * surface, kind must match, then rank-1 per mention by score
-    * (Window.partitionBy(mention).orderBy(desc(score))). */
+    * surface, kind must match, then rank-1 per mention by score.
+    *
+    * Rank-1 selection uses `max(struct(score, …))` instead of a row_number
+    * window: a hash aggregate with map-side partial combine — no global sort
+    * of the mention stream, which benchmarked as the pipeline's second-worst
+    * stage. Ties on score break to the larger entity_id (struct ordering) —
+    * deterministic across partitionings. (Window rank-k stays the tool for
+    * k > 1; see SparkEntry q04.) */
   def links(mentions: Dataset[MentionRow], alias: DataFrame): DataFrame = {
     val scored = mentions
       .join(broadcast(alias), lower(mentions("value")) === alias("alias") &&
         substring(alias("entity_id"), 1, 3) === mentions("entity"), "inner")
       .withColumn("score", col("prior") * col("confidence"))
-    val w = Window.partitionBy("url", "sent_id", "start").orderBy(desc("score"), asc("entity_id"))
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("url", "sent_id", "start", "end", "value", "entity", "entity_id", "score")
+      .groupBy(col("url"), col("sent_id"), col("start"))
+      .agg(max(struct(col("score"), col("entity_id"), col("end"), col("value"),
+        col("entity"))).as("top"))
+      .select(col("url"), col("sent_id"), col("start"), col("top.end").as("end"),
+        col("top.value").as("value"), col("top.entity").as("entity"),
+        col("top.entity_id").as("entity_id"), col("top.score").as("score"))
   }
 
   // ---------------------------------------------------------------- canonical
@@ -152,7 +165,10 @@ object KgPipeline {
 
     val perSentence = links
       .groupBy($"url", $"sent_id")
-      .agg(collect_list(struct($"start", $"end", $"entity", $"entity_id", $"score")).as("ms"))
+      // sort_array: collect_list order depends on shuffle partitioning; the
+      // pair orientation filter below needs text order (start ascending) —
+      // struct comparison is lexicographic, so start must be the first field
+      .agg(sort_array(collect_list(struct($"start", $"end", $"entity", $"entity_id", $"score"))).as("ms"))
       .filter(size($"ms") >= 2)
 
     val joined = perSentence.join(sents, Seq("url", "sent_id"))

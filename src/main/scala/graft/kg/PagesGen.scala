@@ -33,16 +33,19 @@ object PagesGen {
     else s"site${((h >>> 32) % TailDomainCount + TailDomainCount) % TailDomainCount}.example.net"
   }
 
-  /** Sentences per page: 2..9, deterministic. */
-  private def sentCount(h: Long): Int = (((h >>> 24) % 8 + 8) % 8).toInt + 2
+  /** Sentences per page: density × (2..9), deterministic. density=1 matches
+    * the small fixtures; benches use higher densities for realistic
+    * web-page-sized documents (compute-dense relative to shuffle rows). */
+  private def sentCount(h: Long, density: Int): Int =
+    ((((h >>> 24) % 8 + 8) % 8).toInt + 2) * density
 
-  /** Global sentence index space: page i uses sentence ids [i*16, i*16+k). */
-  def pageOf(seed: Long, i: Long): (Page, IndexedSeq[GoldMention]) = {
+  /** Global sentence index space: page i uses sentence ids [i*80, i*80+k). */
+  def pageOf(seed: Long, i: Long, density: Int = 1): (Page, IndexedSeq[GoldMention]) = {
     val h = Synth.splitmix64(seed ^ i)
     val domain = domainFor(h)
     val url = s"https://$domain/page/$i"
-    val nSents = sentCount(h)
-    val sents = (0 until nSents).map(k => Synth.sentence(seed, i * 16 + k))
+    val nSents = math.min(sentCount(h, density), 80)
+    val sents = (0 until nSents).map(k => Synth.sentence(seed, i * 80 + k))
     val text = sents.map(_.text).mkString("\n")
     val lang = if (((h >>> 40) % 10 + 10) % 10 == 9) "de" else "en"
     val ts = new java.sql.Timestamp(1672531200000L + (((h >>> 8) % 31536000L + 31536000L) % 31536000L) * 1000L)
@@ -57,10 +60,10 @@ object PagesGen {
   }
 
   def pages(spark: SparkSession, n: Long, seed: Long = 42L,
-            parallelism: Int = 0): Dataset[Page] = {
+            parallelism: Int = 0, density: Int = 1): Dataset[Page] = {
     import spark.implicits._
     val p = if (parallelism > 0) parallelism else spark.sparkContext.defaultParallelism
-    spark.range(0, n, 1, p).map(i => pageOf(seed, i)._1)
+    spark.range(0, n, 1, p).map(i => pageOf(seed, i, density)._1)
   }
 
   def gold(spark: SparkSession, n: Long, seed: Long = 42L,

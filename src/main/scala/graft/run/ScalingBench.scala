@@ -13,28 +13,67 @@ import graft.Bench
   * Usage: ScalingBench [--pages N] [--low 8] [--high 32] [--out BENCH.md]
   */
 object ScalingBench {
+  /** Measure ONE parallelism level in this JVM (fresh-JVM-per-level protocol:
+    * JIT/GC state from a previous level otherwise contaminates the next).
+    * Prints a single JSON line. */
+  def measureMain(cpus: Int, nPages: Long, stage: String): Unit = {
+    Bench.kgModelCached // train once, untimed
+    val spark = Bench.session(cpus.toString)
+    spark.sparkContext.setLogLevel("ERROR")
+    def job(n: Long) =
+      if (stage == "mentions") Bench.mentionThroughput(spark, n)
+      else Bench.kgThroughput(spark, n)
+    try {
+      job(math.max(2000L, nPages / 10)) // warmup (JIT + codegen)
+      val t0 = System.nanoTime()
+      val (d, t, n) = job(nPages)
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"cpus":$cpus,"pages":$nPages,"wall_sec":$wall%.2f,"docs_per_sec":$d%.1f,"triples_per_sec":$t%.1f,"triples":$n}""")
+    } finally spark.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val (opts, _) = Cli.parse(args)
     val nPages = opts.get("-p").orElse(opts.get("--pages")).map(_.toLong).getOrElse(20000L)
+    opts.get("--measure").foreach { c =>
+      measureMain(c.toInt, nPages, opts.getOrElse("--stage", "full")); return
+    }
     val low = opts.getOrElse("--low", "8").toInt
     val high = opts.getOrElse("--high", "32").toInt
     val out = opts.getOrElse("--out", "BENCH.md")
 
     Bench.kgModelCached // train once, untimed
+    val rounds = opts.getOrElse("--rounds", "3").toInt
+    val stage = opts.getOrElse("--stage", "full") // full | mentions
 
-    def measure(cpus: Int): (Double, Double, Long, Double) = {
+    def job(spark: org.apache.spark.sql.SparkSession, n: Long) =
+      if (stage == "mentions") Bench.mentionThroughput(spark, n)
+      else Bench.kgThroughput(spark, n)
+
+    def measureOnce(cpus: Int, warm: Boolean): (Double, Double, Long, Double) = {
       val spark = Bench.session(cpus.toString)
       spark.sparkContext.setLogLevel("ERROR")
       try {
-        Bench.kgThroughput(spark, math.min(2000L, nPages)) // warmup (JIT + codegen)
+        if (warm) job(spark, math.max(2000L, nPages / 20)) // JIT + codegen
         val t0 = System.nanoTime()
-        val (d, t, n) = Bench.kgThroughput(spark, nPages)
+        val (d, t, n) = job(spark, nPages)
         (d, t, n, (System.nanoTime() - t0) / 1e9)
       } finally spark.stop()
     }
 
-    val (dLow, tLow, n1, wallLow) = measure(low)
-    val (dHigh, tHigh, n2, wallHigh) = measure(high)
+    // Host CPU availability fluctuates (shared sandbox with burst credits) —
+    // interleave the two levels and take the MEDIAN round per level: medians
+    // reflect steady-state CPU allotment, not burst windows.
+    val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double)]]()
+      .withDefaultValue(Nil)
+    for (r <- 0 until rounds; c <- Seq(low, high)) {
+      val m = measureOnce(c, warm = r == 0)
+      System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f")
+      samples(c) = m :: samples(c)
+    }
+    def median(c: Int) = samples(c).sortBy(_._4).apply(samples(c).length / 2)
+    val (dLow, tLow, n1, wallLow) = median(low)
+    val (dHigh, tHigh, n2, wallHigh) = median(high)
     require(n1 == n2, s"nondeterministic triple count: $n1 vs $n2")
     val eff = (wallLow / wallHigh) / (high.toDouble / low)
 
