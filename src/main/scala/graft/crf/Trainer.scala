@@ -34,7 +34,7 @@ object Trainer {
       val labels: IndexedSeq[String],
       val attrs: IndexedSeq[String],
       val attrParam: Array[Array[Int]], // attrId → labelId → param idx or -1
-      val numStateParams: Int) {
+      val numStateParams: Int) extends Serializable {
     val labelIdx: Map[String, Int] = labels.zipWithIndex.toMap
     val attrIdx: Map[String, Int] = attrs.zipWithIndex.toMap
     def numParams: Int = numStateParams + labels.length * labels.length
@@ -142,6 +142,10 @@ object Trainer {
     }
     logZ - goldScore
   }
+
+  /** Executor-side entry for the distributed trainer (SparkTrainer). */
+  def sentenceNllGradPublic(idx: FeatureIndex, w: Array[Double], s: EncSent,
+                            grad: Array[Double]): Double = sentenceNllGrad(idx, w, s, grad)
 
   /** Train from already-featurized sentences. */
   def train(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
