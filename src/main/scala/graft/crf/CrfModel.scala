@@ -38,6 +38,27 @@ case class CrfModel(
   /** All node potentials for a sentence (T × L). */
   def sentencePotentials(feats: IndexedSeq[Array[FeatAtom]]): Array[Array[Double]] =
     feats.iterator.map(nodePotentials).toArray
+
+  /** Reference `explain()` (`crf_extractor.py:292-341`): top transitions and
+    * state features by weight. (The reference's "Negative features" section
+    * accidentally reprints the positive ones — upstream bug, not replicated:
+    * we print the actual most-negative features.) */
+  def explain(nTrans: Int = 10, nStates: Int = 10): String = {
+    val sb = new StringBuilder
+    val trans = (for (i <- labels.indices; j <- labels.indices)
+      yield ((labels(i), labels(j)), transW(i)(j))).sortBy(-_._2)
+    sb.append("Most likely transitions:\n")
+    trans.take(nTrans).foreach { case ((a, b), w) => sb.append(f"$a%-10s -> $b%-10s $w%.6f\n") }
+    sb.append("\nMost unlikely transitions:\n")
+    trans.takeRight(nTrans).reverse.foreach { case ((a, b), w) => sb.append(f"$a%-10s -> $b%-10s $w%.6f\n") }
+    val states = (for ((attr, ws) <- stateW.toSeq; y <- ws.indices if ws(y) != 0.0)
+      yield ((attr, labels(y)), ws(y))).sortBy(-_._2)
+    sb.append("\nPositive features:\n")
+    states.take(nStates).foreach { case ((attr, l), w) => sb.append(f"$w%.6f $l%-10s $attr\n") }
+    sb.append("\nNegative features:\n")
+    states.takeRight(nStates).reverse.foreach { case ((attr, l), w) => sb.append(f"$w%.6f $l%-10s $attr\n") }
+    sb.result()
+  }
 }
 
 object CrfModel {

@@ -51,15 +51,19 @@ object Dedup {
     * not candidates). */
   def jaccardPairs(docs: DataFrame, threshold: Double = 0.8, n: Int = 3,
                    maxDf: Int = 50, textCol: String = "text"): DataFrame = {
+    // group-by-shingle → emit pairs: ONE pass over the posting list (a
+    // self-join would scan/explode the corpus twice — no exchange reuse
+    // across a broadcast boundary), no window sort, per-shingle pair count
+    // bounded by the stop-shingle cap (≤ maxDf·(maxDf−1)/2)
     val withSh = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
     val posting = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
-    val filtered = posting
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-    val a = filtered.select(col("shingle"), col("doc_id").as("a"), col("n_sh").as("na"))
-    val b = filtered.select(col("shingle"), col("doc_id").as("b"), col("n_sh").as("nb"))
-    a.join(b, "shingle")
-      .filter(col("a") < col("b"))
+    val byShingle = posting.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    byShingle
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p._1.doc_id").as("a"), col("p._2.doc_id").as("b"),
+        col("p._1.n_sh").as("na"), col("p._2.n_sh").as("nb"))
       .groupBy("a", "b", "na", "nb")
       .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard", col("inter").cast("double") /
@@ -88,26 +92,32 @@ object Dedup {
   /** LSH candidate pairs from banded minhash signatures, verified with exact
     * Jaccard ≥ threshold. bands × rowsPerBand must equal k. */
   def minhashDupPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 32,
-                      bands: Int = 8, n: Int = 3, textCol: String = "text"): DataFrame = {
+                      bands: Int = 8, n: Int = 3, textCol: String = "text",
+                      maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
+    // group-by-bucket → emit+verify pairs inline: one pass over the banded
+    // signatures (a bucket self-join would compute signatures+shingles twice
+    // and shuffle shingle arrays per band). Buckets larger than `maxBucket`
+    // are skipped (standard LSH hot-bucket cap — such buckets are boilerplate
+    // collisions, and the cap bounds per-task pair fan-out). Verification
+    // happens before the pair dedup so only slim (a, b, jaccard) rows shuffle.
     val withSig = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"),
       minhashSignature(col(textCol), k, n).as("sig"))
     val banded = withSig.select(col("doc_id"), col("sh"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         bnd => xxhash64(concat_ws(",", transform(slice(col("sig"), bnd * r + lit(1), lit(r)), v => v.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col("band"), col("bucket"), col("doc_id").as("a"), col("sh").as("sha"))
-    val b = banded.select(col("band"), col("bucket"), col("doc_id").as("b"), col("sh").as("shb"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("sha"), col("shb"))
-      .dropDuplicates("a", "b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))).cast("double"))
+    val byBucket = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxBucket))
+    byBucket
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p._1.doc_id").as("doc_a"), col("p._2.doc_id").as("doc_b"),
+        round(size(array_intersect(col("p._1.sh"), col("p._2.sh"))).cast("double") /
+          size(array_union(col("p._1.sh"), col("p._2.sh"))).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+      .dropDuplicates("doc_a", "doc_b")
   }
 
   // --------------------------------------------------------------- SimHash

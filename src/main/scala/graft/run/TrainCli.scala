@@ -15,8 +15,10 @@ object Readers {
       ConllReader.readFile(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl"))
       JsonExamples.readFile(path)
+    else if (lower.endsWith(".yml") || lower.endsWith(".yaml"))
+      graft.io.YamlReader.readFile(path)
     else throw new IllegalArgumentException(
-      s"Can't read examples from file with extension: ($path). Accepts .json, .jsonl, .md, .txt, .conll files.")
+      s"Can't read examples from file with extension: ($path). Accepts .json, .jsonl, .md, .yml, .yaml, .txt, .conll files.")
   }
 
   def loadConfig(path: Option[String]): CrfConfig = path match {
@@ -59,6 +61,7 @@ object EvalCli {
     require(pos.length == 1 && opts.contains("-m"), "usage: EvalCli <in_file> -m model.json [--no-bilou]")
     val model = ModelIO.load(opts("-m"))
     val bilou = !opts.contains("--no-bilou") && model.config.bilou
+    if (opts.contains("--explain")) println(model.explain())
     val examples = Readers.readFile(pos.head)
     println(s"[eval] loaded ${examples.length} eval examples from ${pos.head}")
     val report = graft.crf.EvalReport.evalExamples(model, examples, bilou)
