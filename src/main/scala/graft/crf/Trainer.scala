@@ -154,8 +154,10 @@ object Trainer {
     val idx = buildIndex(sents)
     val enc = encode(idx, sents)
     val n = idx.numParams
-    val nThreads = math.max(1, Runtime.getRuntime.availableProcessors min 16)
-    val chunks = enc.grouped(math.max(1, (enc.size + nThreads - 1) / nThreads)).toArray
+    // fixed chunk size, NOT core-count-derived: keeps the gradient summation
+    // order (and therefore the trained weights) bit-identical across machines
+    // and ActiveProcessorCount settings; the pool still uses all cores
+    val chunks = enc.grouped(64).toArray
 
     val f = new DiffFunction[DenseVector[Double]] {
       def calculate(wv: DenseVector[Double]): (Double, DenseVector[Double]) = {

@@ -38,10 +38,14 @@ object ConnectedComponents {
           when(col("ncomp").isNotNull && col("ncomp") < col("comp"), col("ncomp"))
             .otherwise(col("comp")).as("comp"))
         .localCheckpoint()
-      val changes = updated.join(labels.withColumnRenamed("comp", "old"), "node")
-        .filter(col("comp") =!= col("old")).limit(1).count()
+      // convergence check every 2nd round — each check is a full job, and
+      // label-propagation needs O(diameter) rounds anyway
+      if (it % 2 == 1 || it == maxIter - 1) {
+        val changes = updated.join(labels.withColumnRenamed("comp", "old"), "node")
+          .filter(col("comp") =!= col("old")).limit(1).count()
+        converged = changes == 0
+      }
       labels = updated
-      converged = changes == 0
       it += 1
     }
     labels.select(col("node"), concat(lit("C:"), col("comp")).as("canon_id"))

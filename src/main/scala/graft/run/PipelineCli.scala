@@ -32,7 +32,7 @@ object PipelineCli {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, outRoot, nPages, seed)
+      val r = run(spark, outRoot, nPages, seed, inputDir = opts.get("--input"))
       println(f"[pipeline] docs/sec=${r.docsPerSec}%.1f triples/sec=${r.triplesPerSec}%.1f " +
         f"mentionP=${r.mentionP}%.4f mentionR=${r.mentionR}%.4f triples=${r.nTriples}")
     } finally spark.stop()
@@ -42,9 +42,12 @@ object PipelineCli {
                     nCanonical: Long, nTriples: Long, mentionP: Double, mentionR: Double,
                     wallSec: Double, docsPerSec: Double, triplesPerSec: Double)
 
-  /** Run all stages under `outRoot` (resuming completed ones). */
+  /** Run all stages under `outRoot` (resuming completed ones).
+    * `inputDir`: read an existing pages table (input_hint schema) instead of
+    * generating one — the real-data ingest path; P/R is then reported as -1
+    * (no gold available). */
   def run(spark: SparkSession, outRoot: String, nPages: Long, seed: Long = 42L,
-          log: String => Unit = println): Result = {
+          log: String => Unit = println, inputDir: Option[String] = None): Result = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -60,7 +63,8 @@ object PipelineCli {
       }
 
     val pages = Checkpoints.stage(spark, outRoot, "pages", log) {
-      PagesGen.pages(spark, nPages, seed).toDF()
+      inputDir.map(d => spark.read.parquet(d))
+        .getOrElse(PagesGen.pages(spark, nPages, seed).toDF())
     }
     val sents = Checkpoints.stage(spark, outRoot, "sentences", log) {
       KgPipeline.sentences(pages.as[Page]).toDF()
@@ -84,14 +88,16 @@ object PipelineCli {
       KgPipeline.edges(triples)
     }
 
-    // mention P/R vs generated gold (BASELINE gate: >= 0.95)
-    val gold = PagesGen.gold(spark, nPages, seed).toDF()
-    val pred = mentions.toDF()
-    val hit = pred.join(gold, Seq("url", "sent_id", "start", "end", "entity"), "inner").count()
-    val nPred = pred.count()
-    val nGold = gold.count()
-    val p = if (nPred == 0) 0.0 else hit.toDouble / nPred
-    val r = if (nGold == 0) 0.0 else hit.toDouble / nGold
+    // mention P/R vs generated gold (BASELINE gate: >= 0.95); external input
+    // has no gold — report -1
+    val nPred = mentions.count()
+    val (p, r) = if (inputDir.isDefined) (-1.0, -1.0) else {
+      val gold = PagesGen.gold(spark, nPages, seed).toDF()
+      val hit = mentions.toDF().join(gold, Seq("url", "sent_id", "start", "end", "entity"), "inner").count()
+      val nGold = gold.count()
+      (if (nPred == 0) 0.0 else hit.toDouble / nPred,
+        if (nGold == 0) 0.0 else hit.toDouble / nGold)
+    }
 
     val wall = (System.nanoTime() - t0) / 1e9
     val res = Result(nPages, sents.count(), nPred, links.count(), canonical.count(),
