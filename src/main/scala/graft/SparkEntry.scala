@@ -203,6 +203,14 @@ object SparkEntry {
     "q25_langid" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"),
         TextStats.isEnglishHeuristic(col("text")).as("is_en"))),
+    "q26_langid_trigram" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"), graft.ops.LangId.detect(col("text")).as("lang_detected"),
+        round(graft.ops.LangId.score(col("text"), "en"), 4).as("en_score"))),
+    "q33_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val index = graft.ops.IvfIndex.build(emb, nCentroids = 16)
+      graft.ops.IvfIndex.topK(index, emb.filter(col("vec_id") % 100 === 0), k = 5, nProbe = 4)
+    }),
     "q30_ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5)

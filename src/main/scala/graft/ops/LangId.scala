@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Character-trigram language identification (the classic n-gram profile
+  * method, Cavnar & Trenkle 1994): score a document by overlap between its
+  * trigram set and a per-language top-trigram profile; argmax wins.
+  *
+  * Profiles are built once from small embedded seed corpora (public-domain
+  * pangram/common-phrase snippets) — no external data. The scorer is pure
+  * column algebra: `array_intersect` against a literal profile array, fully
+  * codegen'd, no UDF. `TextStats.isEnglishHeuristic` stays as the cheaper
+  * stopword-based scan filter; this is the higher-precision classifier. */
+object LangId {
+
+  private val seedCorpora: Map[String, String] = Map(
+    "en" -> ("the quick brown fox jumps over the lazy dog and this is a test of the language " +
+      "identification system which should work with common english words and their letters " +
+      "that have been written here for the purpose of building a trigram profile of english " +
+      "people often say that the morning is the best time of the day because everything is " +
+      "quiet and you can think about what you want to do with your life and your work " +
+      "she walked through the old town and looked at the houses where many families had " +
+      "lived for years while the children played outside near the water under a clear sky " +
+      "it was not what they had expected but they knew there would be another chance to " +
+      "make things better when the right moment finally came along with some good news"),
+    "de" -> ("der schnelle braune fuchs springt über den faulen hund und dies ist ein test des " +
+      "systems zur spracherkennung das mit häufigen deutschen wörtern und ihren buchstaben " +
+      "funktionieren sollte die hier geschrieben wurden um ein trigramm profil zu erstellen " +
+      "die leute sagen oft dass der morgen die beste zeit des tages ist weil alles ruhig " +
+      "ist und man darüber nachdenken kann was man mit seinem leben und seiner arbeit " +
+      "machen möchte sie ging durch die alte stadt und schaute auf die häuser in denen " +
+      "viele familien seit jahren wohnten während die kinder draußen am wasser spielten " +
+      "es war nicht das was sie erwartet hatten aber sie wussten dass es eine weitere " +
+      "gelegenheit geben würde alles besser zu machen wenn der richtige augenblick kommt"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux et ceci est un test du " +
+      "système d'identification de la langue qui devrait fonctionner avec des mots français " +
+      "courants et leurs lettres qui ont été écrits ici pour construire un profil de trigrammes " +
+      "les gens disent souvent que le matin est le meilleur moment de la journée parce que " +
+      "tout est calme et on peut réfléchir à ce que l'on veut faire de sa vie et de son " +
+      "travail elle marchait dans la vieille ville et regardait les maisons où de nombreuses " +
+      "familles vivaient depuis des années pendant que les enfants jouaient dehors près de " +
+      "l'eau sous un ciel clair ce n'était pas ce qu'ils attendaient mais ils savaient " +
+      "qu'il y aurait une autre occasion de faire mieux quand le bon moment arriverait"))
+
+  val ProfileSize = 120
+
+  /** Top-N trigrams per language by frequency (ties broken lexicographically
+    * — deterministic). */
+  lazy val profiles: Map[String, IndexedSeq[String]] = seedCorpora.map { case (lang, corpus) =>
+    val t = s" ${corpus.toLowerCase} ".replaceAll("\\s+", " ")
+    val counts = t.sliding(3).foldLeft(Map.empty[String, Int]) { (m, g) =>
+      m.updated(g, m.getOrElse(g, 0) + 1)
+    }
+    lang -> counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(ProfileSize).map(_._1).toIndexedSeq
+  }
+
+  /** Distinct trigrams of a text column (lowercased, whitespace-normalized,
+    * space-padded like the profiles). */
+  def trigrams(text: Column): Column = {
+    val t = concat(lit(" "), regexp_replace(lower(text), "\\s+", " "), lit(" "))
+    array_distinct(transform(sequence(lit(1), greatest(length(t) - 2, lit(1))),
+      i => t.substr(i, lit(3))))
+  }
+
+  /** Trigrams unique to each language among the profiled set — shared
+    * trigrams (" de", "es ", …) carry no signal and cause cross-language
+    * misfires, so scoring uses the discriminative sets. */
+  lazy val discriminative: Map[String, IndexedSeq[String]] = profiles.map { case (lang, ps) =>
+    val others = profiles.collect { case (l, p) if l != lang => p.toSet }
+      .foldLeft(Set.empty[String])(_ ++ _)
+    lang -> ps.filterNot(others)
+  }
+
+  /** Overlap score in [0,1] against one language's DISCRIMINATIVE profile. */
+  def score(text: Column, lang: String): Column = {
+    val prof = array(discriminative(lang).map(lit): _*)
+    val tg = trigrams(text)
+    when(size(tg) === 0, lit(0.0))
+      .otherwise(size(array_intersect(tg, prof)).cast("double") / size(tg).cast("double"))
+  }
+
+  /** Best language among the profiled set (greatest struct = (score, lang)
+    * desc-by-score with deterministic tie-break). */
+  def detect(text: Column): Column = {
+    val scored = profiles.keys.toSeq.sorted.map(l => struct(score(text, l).as("s"), lit(l).as("lang")))
+    greatest(scored: _*).getField("lang")
+  }
+}

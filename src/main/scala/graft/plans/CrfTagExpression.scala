@@ -1,0 +1,115 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.crf.{CrfDecoder, CrfModel}
+
+/** `crf_tag(text)` as a native Catalyst expression: runs the CRF decoder on a
+  * string column and returns `array<struct<start,end,value,entity,confidence>>`.
+  *
+  * This is the SQL surface for mention extraction (SURVEY §7 "optional
+  * polish") — the same decode the typed `mapPartitions` path runs, but usable
+  * from `spark.sql("SELECT crf_tag(text) FROM pages")` and composable with
+  * `explode`/`inline`. Registered per-session via [[GraftExtensions]]
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
+  * [[GraftFunctions.register]].
+  *
+  * Execution notes:
+  *  - `CodegenFallback`: the kernel is a JVM model call — nothing to gain
+  *    from whole-stage codegen'ing the wrapper, and the expression sits in a
+  *    projection whose INPUT scan still codegens.
+  *  - The model is carried in the expression tree (task-serialized once per
+  *    stage, like a closure); the decoder (with its vocabulary cache) is
+  *    lazily built once per task/thread, NOT per row.
+  */
+case class CrfTagExpression(child: Expression, model: CrfModel)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = CrfTagExpression.spanArrayType
+  override def nullable: Boolean = true
+  override def prettyName: String = "crf_tag"
+
+  @transient private lazy val decoder = new CrfDecoder(model)
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val spans = decoder.process(text)
+    new GenericArrayData(spans.map { s =>
+      InternalRow(s.start, s.end, UTF8String.fromString(s.value),
+        UTF8String.fromString(s.entity), s.confidence)
+    }.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CrfTagExpression =
+    copy(child = newChild)
+}
+
+object CrfTagExpression {
+  val spanStructType: StructType = StructType(Seq(
+    StructField("start", IntegerType, nullable = false),
+    StructField("end", IntegerType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("entity", StringType, nullable = false),
+    StructField("confidence", DoubleType, nullable = false)))
+  val spanArrayType: DataType = ArrayType(spanStructType, containsNull = false)
+}
+
+/** Session-level registration of graft SQL functions. The model comes from
+  * `spark.graft.model.path` (SQLConf) or the deterministic pipeline model. */
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  def register(spark: SparkSession, model: CrfModel): Unit = {
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("crf_tag"),
+      new ExpressionInfo("graft.plans.CrfTagExpression", "crf_tag"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "crf_tag(text) takes exactly one argument")
+        CrfTagExpression(children.head, model)
+      })
+  }
+
+  /** Column-API form: `df.select(crf_tag($"text"))`. */
+  def crf_tag(c: org.apache.spark.sql.Column, model: CrfModel): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      CrfTagExpression(org.apache.spark.sql.GraftColumnBridge.expression(c), model))
+}
+
+/** `SparkSessionExtensions` hook: loads the model from the path in
+  * `spark.graft.model.path` at first use (injected function). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("crf_tag"),
+      new ExpressionInfo("graft.plans.CrfTagExpression", "crf_tag"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "crf_tag(text) takes exactly one argument")
+        CrfTagExpression(children.head, GraftExtensions.modelFromConf())
+      }))
+  }
+}
+
+object GraftExtensions {
+  @volatile private var cached: CrfModel = _
+  private[plans] def modelFromConf(): CrfModel = {
+    if (cached == null) synchronized {
+      if (cached == null) {
+        val path = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.model.path", "")
+        cached =
+          if (path.nonEmpty) graft.io.ModelIO.load(path)
+          else graft.kg.KgPipeline.trainModel(42L)
+      }
+    }
+    cached
+  }
+}

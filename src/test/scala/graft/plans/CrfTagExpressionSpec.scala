@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+import graft.kg.{KgPipeline, Synth}
+
+/** The `crf_tag` Catalyst expression must decode spans identically to the
+  * typed mapPartitions path, from both the Column API and SQL. */
+class CrfTagExpressionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  lazy val model = KgPipeline.trainModel(42L, nTrain = 200)
+
+  test("crf_tag Column API matches CrfDecoder spans") {
+    import spark.implicits._
+    val texts = (0L until 200L).map(i => Synth.sentence(42L, i).text)
+    val df = texts.toDF("text")
+    val rows = df.select(col("text"), GraftFunctions.crf_tag(col("text"), model).as("spans"))
+      .select(col("text"), explode(col("spans")).as("s"))
+      .select(col("text"), col("s.start"), col("s.end"), col("s.value"), col("s.entity"))
+      .collect()
+    val decoder = new graft.crf.CrfDecoder(model)
+    val expected = texts.flatMap(t => decoder.process(t).map(sp => (t, sp.start, sp.end, sp.value, sp.entity)))
+    val got = rows.map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))
+    assert(got.sorted.toSeq === expected.sorted)
+    assert(got.nonEmpty)
+  }
+
+  test("crf_tag is usable from SQL after registration") {
+    GraftFunctions.register(spark, model)
+    import spark.implicits._
+    Seq("Alice Johnson works at Hooli in Berlin .").toDF("text").createOrReplaceTempView("sents")
+    val out = spark.sql(
+      "SELECT s.value, s.entity FROM sents LATERAL VIEW explode(crf_tag(text)) t AS s ORDER BY s.value")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(out.toSeq === Seq(("Alice Johnson", "PER"), ("Berlin", "LOC"), ("Hooli", "ORG")))
+  }
+
+  test("null text yields null, not a crash") {
+    GraftFunctions.register(spark, model)
+    val out = spark.sql("SELECT crf_tag(CAST(NULL AS STRING)) IS NULL").collect()
+    assert(out.head.getBoolean(0))
+  }
+}
