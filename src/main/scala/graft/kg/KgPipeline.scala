@@ -118,12 +118,17 @@ object KgPipeline {
 
     val withBlock = surfaces.withColumn("block", concat($"entity", lit(":"), split($"surface", " ").getItem(0)))
 
-    val a = withBlock.select($"block", $"node".as("node_a"), $"surface".as("surf_a"))
-    val b = withBlock.select($"block", $"node".as("node_b"), $"surface".as("surf_b"))
-    val simPairs = a.join(b, "block")
-      .filter($"node_a" < $"node_b")
-      .filter(jaccard3($"surf_a", $"surf_b") >= 0.5)
-      .select($"node_a", $"node_b")
+    // group-by-block → pair within block (one pass, no self-join); blocks
+    // beyond maxBlock surfaces are skipped — at web scale an oversized block
+    // is a stop-word-like key whose pairs are noise, and the cap bounds the
+    // quadratic fan-out per task
+    val maxBlock = 1000
+    val simPairs = withBlock.groupBy($"block")
+      .agg(sort_array(collect_list(struct($"node", $"surface"))).as("ns"))
+      .filter(size($"ns").between(2, maxBlock))
+      .select(explode(blockPairs($"ns")).as("p"))
+      .filter(jaccard3($"p._1.surface", $"p._2.surface") >= 0.5)
+      .select($"p._1.node".as("node_a"), $"p._2.node".as("node_b"))
 
     // surface → linked entity id edges
     val linkEdges = links
@@ -203,6 +208,11 @@ object KgPipeline {
       .groupBy($"subj", $"pred", $"obj")
       .agg(sum($"c0").as("n_sources"), max($"m0").as("conf"), sum($"u0").as("n_urls_approx"))
   }
+
+  /** All unordered pairs within one (bounded) array — built-ins only. */
+  private def blockPairs(xs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    flatten(transform(xs, (x, i) =>
+      transform(slice(xs, i + lit(2), lit(1000000)), y => struct(x.as("_1"), y.as("_2")))))
 
   /** All unordered pairs of the (tiny) per-sentence mention array, as a
     * Column — built-ins only, stays in codegen. */

@@ -42,6 +42,19 @@ class InferenceSpec extends AnyFunSuite {
     assert(Inference.viterbi(psi, trans).toSeq === bfBest.toSeq)
   }
 
+  test("scaled forward-backward matches log-space marginals") {
+    val psi = Array(
+      Array(0.3, -0.2, 1.1), Array(-0.5, 0.8, 0.0),
+      Array(1.5, 0.2, -1.0), Array(0.0, 0.0, 0.4),
+      Array(30.0, -25.0, 2.0)) // large potentials: scaling must stay stable
+    val trans = Array(
+      Array(0.1, -0.3, 0.6), Array(0.9, 0.2, -0.8), Array(-0.1, 0.5, 0.3))
+    val (logMarg, _, _, _) = Inference.forwardBackward(psi, trans)
+    val scaled = Inference.marginalsScaled(psi, trans)
+    for (t <- psi.indices; y <- 0 until 3)
+      assert(math.abs(logMarg(t)(y) - scaled(t)(y)) < 1e-12, s"($t)($y)")
+  }
+
   test("single-token chain") {
     val psi = Array(Array(0.2, 1.0))
     val trans = Array(Array(0.0, 0.0), Array(0.0, 0.0))
