@@ -45,12 +45,21 @@ object KgPipeline {
     * `partitions = -1` skips the repartition — for inputs already evenly
     * hash-distributed (e.g. the deterministic generator), the shuffle buys
     * nothing and its disk IO is a scaling bottleneck. */
-  def mentions(sents: Dataset[SentenceRow], model: CrfModel, partitions: Int = 0): Dataset[MentionRow] = {
+  /** Named-accumulator counter metrics (north_rule): registered on the Spark
+    * UI and readable by the caller after an action. */
+  case class StageCounters(sentences: org.apache.spark.util.LongAccumulator,
+                           mentions: org.apache.spark.util.LongAccumulator)
+
+  def mentions(sents: Dataset[SentenceRow], model: CrfModel, partitions: Int = 0,
+               counters: Option[StageCounters] = None): Dataset[MentionRow] = {
     val spark = sents.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model)
-    val sentCounter = spark.sparkContext.longAccumulator("kg.sentences")
-    val mentionCounter = spark.sparkContext.longAccumulator("kg.mentions")
+    val cs = counters.getOrElse(StageCounters(
+      spark.sparkContext.longAccumulator("kg.sentences"),
+      spark.sparkContext.longAccumulator("kg.mentions")))
+    val sentCounter = cs.sentences
+    val mentionCounter = cs.mentions
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     val distributed =
       if (partitions < 0) sents
@@ -219,6 +228,24 @@ object KgPipeline {
   private def pairCombos(ms: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     flatten(transform(ms, (m1, i) =>
       transform(slice(ms, i + 2, lit(1000000)), m2 => struct(m1.as("_1"), m2.as("_2")))))
+
+  // ------------------------------------------------------------- domain stats
+  /** Per-domain page/mention counts with EXPLICIT skew salting: hot domains
+    * (the generator plants two at ~20% each) would make a plain
+    * groupBy(domain) reducer-skewed at 10^12 docs, so the count is built as a
+    * salted two-phase aggregate — partials per (domain, salt) first, then the
+    * cheap final merge over ≤ 64 rows per domain. */
+  def domainStats(mentions: Dataset[MentionRow]): DataFrame = {
+    val spark = mentions.sparkSession
+    import spark.implicits._
+    mentions
+      .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
+      .withColumn("salt", pmod(xxhash64($"url"), lit(64)))
+      .groupBy($"domain", $"salt")
+      .agg(count(lit(1)).as("m0"), approx_count_distinct($"url").as("u0"))
+      .groupBy($"domain")
+      .agg(sum($"m0").as("n_mentions"), sum($"u0").as("n_urls_approx"))
+  }
 
   // -------------------------------------------------------------------- graph
   def nodes(canonical: DataFrame, links: DataFrame): DataFrame = {

@@ -69,9 +69,14 @@ object PipelineCli {
     val sents = Checkpoints.stage(spark, outRoot, "sentences", log) {
       KgPipeline.sentences(pages.as[Page]).toDF()
     }.as[SentenceRow]
+    val counters = KgPipeline.StageCounters(
+      spark.sparkContext.longAccumulator("kg.sentences"),
+      spark.sparkContext.longAccumulator("kg.mentions"))
     val mentions = Checkpoints.stage(spark, outRoot, "mentions", log) {
-      KgPipeline.mentions(sents, model).toDF()
+      KgPipeline.mentions(sents, model, counters = Some(counters)).toDF()
     }.as[MentionRow]
+    if (counters.sentences.value > 0)
+      log(s"[metrics] counters: sentences_decoded=${counters.sentences.value} mentions_emitted=${counters.mentions.value}")
     val links = Checkpoints.stage(spark, outRoot, "links", log) {
       KgPipeline.links(mentions, KgPipeline.aliasDf(spark))
     }
@@ -80,6 +85,9 @@ object PipelineCli {
     }
     val triples = Checkpoints.stage(spark, outRoot, "triples", log) {
       KgPipeline.triples(links, sents)
+    }
+    Checkpoints.stage(spark, outRoot, "domain_stats", log) {
+      KgPipeline.domainStats(mentions)
     }
     val nodes = Checkpoints.stage(spark, outRoot, "nodes", log) {
       KgPipeline.nodes(canonical, links)
