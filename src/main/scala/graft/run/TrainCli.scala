@@ -40,8 +40,15 @@ object TrainCli {
     val bilou = !opts.contains("--no-bilou") && config.bilou
     val examples = Readers.readFile(pos.head)
     println(s"[train] loaded ${examples.length} training examples from ${pos.head}")
+    val tuned =
+      if (opts.contains("-ft") || opts.contains("--fine-tune")) {
+        // reference train.py -ft: RandomizedSearchCV over c1/c2, then retrain
+        val r = graft.crf.FineTune.run(examples, config, cv = 5, nIter = 30, seed = 42L, bilou = bilou)
+        println(f"[train] fine-tuned hyper params: c1=${r.best.c1}%.5f c2=${r.best.c2}%.5f (cv weighted-F1 ${r.best.meanF1}%.3f)")
+        config.copy(c1 = r.best.c1, c2 = r.best.c2)
+      } else config
     val t0 = System.nanoTime()
-    val model = Trainer.trainExamples(examples, config, bilou)
+    val model = Trainer.trainExamples(examples, tuned, bilou)
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"[train] trained CRF: ${model.labels.length} labels, ${model.stateW.size} state attributes, in $secs%.1f s")
     val out = opts.getOrElse("-o", ".") + "/model.json"
