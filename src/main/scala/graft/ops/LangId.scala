@@ -89,10 +89,28 @@ object LangId {
       .otherwise(size(array_intersect(tg, prof)).cast("double") / size(tg).cast("double"))
   }
 
-  /** Best language among the profiled set (greatest struct = (score, lang)
-    * desc-by-score with deterministic tie-break). */
+  private def langsSorted: IndexedSeq[String] = profiles.keys.toSeq.sorted.toIndexedSeq
+
+  /** Per-language discriminative-overlap counts in ONE pass over the trigram
+    * array (the trigram extraction — the expensive part — is the aggregate's
+    * array argument, evaluated once per row; scoring each language with its
+    * own `score()` call would re-run it per language). Returns
+    * array<int> aligned with `langsSorted`. */
+  def overlapCounts(text: Column): Column = {
+    val profs = array(langsSorted.map(l => array(discriminative(l).map(lit): _*)): _*)
+    aggregate(trigrams(text), array_repeat(lit(0), langsSorted.length),
+      (acc, g) => zip_with(acc, profs,
+        (a, p) => a + when(array_contains(p, g), 1).otherwise(0)))
+  }
+
+  /** Best language among the profiled set (max overlap count; ties break to
+    * the lexicographically last language — deterministic). */
   def detect(text: Column): Column = {
-    val scored = profiles.keys.toSeq.sorted.map(l => struct(score(text, l).as("s"), lit(l).as("lang")))
-    greatest(scored: _*).getField("lang")
+    val langsLit = array(langsSorted.map(lit): _*)
+    val best = aggregate(
+      zip_with(overlapCounts(text), langsLit, (c, l) => struct(c.as("c"), l.as("lang"))),
+      struct(lit(-1).as("c"), lit("").as("lang")),
+      (acc, x) => when(x.getField("c") >= acc.getField("c"), x).otherwise(acc))
+    best.getField("lang")
   }
 }
