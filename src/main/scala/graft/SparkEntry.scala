@@ -11,9 +11,17 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
   * Spark plan and the oracle SQL (the driver sorts columns by name and
   * hashes values).
   *
-  * Double-typed money aggregates are cast to DECIMAL(18,2) BEFORE summing on
-  * both sides so the compare is exact (float summation order differs between
-  * engines); ratio outputs are rounded to fixed decimals on both sides. */
+  * Output-type discipline (the driver hash is sensitive to PHYSICAL types,
+  * not just values — Spark decimal sums widen to decimal(28,2) vs DuckDB's
+  * DECIMAL(38,2), row_number is int32 vs BIGINT, DuckDB sum(int) is HUGEINT,
+  * Spark writes ns timestamps vs DuckDB µs): every oracled query emits ONLY
+  * bigint / double / string / boolean (plus per-value DECIMAL(18,2) casts,
+  * which both engines keep at the declared width). Money sums are computed
+  * exactly in DECIMAL(18,2) then cast to DOUBLE (decimal→double is
+  * correctly-rounded and identical in both engines); the one double-product
+  * sum (q02 revenue) is summed in DOUBLE and rounded ONCE at the end on both
+  * sides (per-row decimal casts round ties differently across engines);
+  * timestamps are compared as epoch-second bigints. */
 object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -40,8 +48,8 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           count(lit(1)).as("n_rows"))
     }),
     "q02_join_agg" -> ((s, dir) => {
@@ -51,17 +59,17 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,2)")).as("revenue"),
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
           count(lit(1)).as("n_lineitems"))
     }),
     "q03_broadcast_join" -> ((s, dir) => {
       t(s, dir, "lineitem").join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
-        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"), count(lit(1)).as("n"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"), count(lit(1)).as("n"))
     }),
     "q04_window_topn" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(desc("o_totalprice"), asc("o_orderkey"))
-      t(s, dir, "orders").withColumn("rn", row_number().over(w))
+      t(s, dir, "orders").withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .select(col("o_custkey"), col("rn"), col("o_orderkey"),
           col("o_totalprice").cast("decimal(18,2)").as("price"))
@@ -95,8 +103,8 @@ object SparkEntry {
     }),
     "q09_events_hourly" -> ((s, dir) => {
       t(s, dir, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).as("sum_value"))
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
     }),
     "q10_sessionize" -> ((s, dir) => {
       // session = gap > 30 min starts a new one (lag + running sum) — the
@@ -115,26 +123,26 @@ object SparkEntry {
     "q11_grouping_sets" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
     }))
 
   private val relationalSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
          count(*) AS n_rows
          FROM lineitem GROUP BY 1, 2""",
     "q02_join_agg" ->
       """SELECT n_name,
-         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS revenue,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
          count(*) AS n_lineitems
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
          GROUP BY 1""",
     "q03_broadcast_join" ->
-      """SELECT p_brand, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n
+      """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
     "q04_window_topn" ->
       """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
@@ -162,8 +170,8 @@ object SparkEntry {
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
          FROM lineitem GROUP BY 1""",
     "q09_events_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-         sum(CAST(value AS DECIMAL(18,4))) AS sum_value
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour, event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2""",
     "q10_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
@@ -172,11 +180,11 @@ object SparkEntry {
             f AS (SELECT user_id,
                   CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) > 1800
                        THEN 1 ELSE 0 END AS new_sess FROM g)
-         SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+         SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
          FROM f GROUP BY 1""",
     "q11_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
          FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""")
 
   // ======================================================================
@@ -242,14 +250,14 @@ object SparkEntry {
               ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                    x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
                    / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 4) AS stopword_ratio,
-         round((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+         CAST(round((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
              + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                    x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
                    / len(regexp_split_to_array(lower(trim(text)), '\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
              + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
                    / length(regexp_replace(text, '\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
              + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g')) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2) AS quality,
+                   / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
          FROM documents""",
     "q21_dedup_exact" ->
@@ -289,7 +297,7 @@ object SparkEntry {
     "q30_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
             scored AS (SELECT query_id, e.vec_id AS neighbor_id,
-                       list_cosine_similarity(qv, e.embedding) AS cos
+                       list_cosine_similarity(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cos
                        FROM q, embeddings e WHERE e.vec_id <> query_id),
             r AS (SELECT query_id, neighbor_id, cos,
                   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk

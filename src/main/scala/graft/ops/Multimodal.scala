@@ -57,6 +57,6 @@ object Multimodal {
     * sniffing pattern — stays entirely in codegen. */
   def payloadMeta(docs: DataFrame): DataFrame =
     withPayload(docs).select(col("doc_id"),
-      octet_length(col("payload")).as("n_bytes"),
+      octet_length(col("payload")).cast("long").as("n_bytes"),
       substring(base64(col("payload")), 1, 8).as("magic_b64"))
 }

@@ -33,7 +33,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
@@ -64,7 +64,7 @@ object Similarity {
     val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }

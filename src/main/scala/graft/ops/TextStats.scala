@@ -68,7 +68,10 @@ object TextStats {
   /** Full stats projection over a docs table. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    docs.select(col("doc_id"), length(t).as("n_chars"), tokenCount(t).as("n_tokens"),
+    // counts as long: the oracle's length()/len() are BIGINT, and the driver
+    // hash is physical-type-sensitive — emit int64, never int32
+    docs.select(col("doc_id"), length(t).cast("long").as("n_chars"),
+      tokenCount(t).cast("long").as("n_tokens"),
       round(punctRatio(t), 4).as("punct_ratio"),
       round(stopwordRatio(t), 4).as("stopword_ratio"),
       qualityScore(t).as("quality"), fingerprint(t).as("fingerprint"))

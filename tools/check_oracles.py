@@ -2,11 +2,21 @@
 """Local mirror of the driver's correctness gate: for each query output
 parquet written by graft.Verify, run the corresponding oracle SQL in DuckDB
 over the same source tables and compare (columns sorted by name, rows sorted,
-values canonicalized).
+values compared LOSSLESSLY, physical types compared by name).
 
-Usage: check_oracles.py <verify_out_dir> <sf_dir>
+The compare is deliberately strict — the driver's hash is sensitive to both
+exact values and physical types (decimal widths, int32 vs int64, timestamp
+units). An earlier 6-significant-figure canonicalization here certified a
+real value bug (q02 revenue off by cents) as green; never again. The lossy
+mode survives only behind --lenient for debugging.
+
+Usage: check_oracles.py <verify_out_dir> <sf_dir> [--lenient]
 """
-import json, sys, math
+import datetime
+import decimal
+import json
+import math
+import sys
 from pathlib import Path
 
 import duckdb
@@ -14,22 +24,22 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+LENIENT = "--lenient" in sys.argv
+
 
 def canon(v):
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(bool(v)).lower()
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(bool(v)).lower()
-    try:  # decimal
-        import decimal
-        if isinstance(v, decimal.Decimal):
-            return f"{float(v):.6g}"
-    except Exception:
-        pass
+        return f"{v:.6g}" if LENIENT else repr(v)
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.6g}" if LENIENT else str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
     return str(v)
 
 
@@ -52,16 +62,18 @@ def main():
         if not qdir.is_dir():
             continue
         name = qdir.name
-        rel = con.execute(f"SELECT * FROM '{qdir}/*.parquet'")
-        spark_cols = [d[0] for d in rel.description]
+        rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+        spark_cols = list(rel.columns)
+        spark_types = {c: str(t) for c, t in zip(rel.columns, rel.types)}
         spark_rows = rel.fetchall()
         if name not in oracle:
             n_rowsonly += 1
             print(f"  rows-only  {name}: {len(spark_rows)} rows")
             continue
         try:
-            orel = con.execute(oracle[name])
-            o_cols = [d[0] for d in orel.description]
+            orel = con.sql(oracle[name])
+            o_cols = list(orel.columns)
+            o_types = {c: str(t) for c, t in zip(orel.columns, orel.types)}
             o_rows = orel.fetchall()
         except Exception as e:
             n_fail += 1
@@ -70,6 +82,14 @@ def main():
         if sorted(spark_cols) != sorted(o_cols):
             n_fail += 1
             print(f"✗ SCHEMA     {name}: spark={sorted(spark_cols)} oracle={sorted(o_cols)}")
+            continue
+        type_diffs = [(c, spark_types[c], o_types[c])
+                      for c in sorted(spark_cols) if spark_types[c] != o_types[c]]
+        if type_diffs and not LENIENT:
+            n_fail += 1
+            print(f"✗ TYPE       {name}:")
+            for c, st, ot in type_diffs:
+                print(f"    {c}: spark={st} oracle={ot}")
             continue
         s_sig, o_sig = table_sig(spark_rows, spark_cols), table_sig(o_rows, o_cols)
         if s_sig == o_sig:
