@@ -225,7 +225,8 @@ object SparkEntry {
     }),
     "q31_ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5, nBits = 4)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") % 100 === 0), k = 5,
+        nBits = 8, probeBits = 1, nTables = 4)
     }),
     "q32_embed_dups" -> ((s, dir) => {
       // embeddings ∪ perturbed copies → guaranteed near-dups for the operator

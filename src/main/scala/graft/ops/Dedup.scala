@@ -90,34 +90,50 @@ object Dedup {
   }
 
   /** LSH candidate pairs from banded minhash signatures, verified with exact
-    * Jaccard ≥ threshold. bands × rowsPerBand must equal k. */
+    * Jaccard ≥ threshold. bands × rowsPerBand must equal k.
+    *
+    * Shuffle discipline (the 100 TB concern): the band shuffle carries ONLY
+    * slim (doc_id, band, bucket) rows — 3 longs/doc/band — never the shingle
+    * sets (which are ~document-sized; shuffling them ×bands was the dominant
+    * cost of the previous formulation). Candidate pairs come out of the
+    * bucket groupBy as bare id pairs; the exact-Jaccard verification then
+    * joins shingles back for CANDIDATE docs only (a semi-join restriction —
+    * AQE turns it into a broadcast when the candidate id set is small, the
+    * common case; worst case it shuffles the corpus ONCE by doc_id instead
+    * of ×bands). Buckets larger than `maxBucket` are skipped (standard LSH
+    * hot-bucket cap — such buckets are boilerplate collisions, and the cap
+    * bounds per-task pair fan-out). */
   def minhashDupPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 32,
                       bands: Int = 8, n: Int = 3, textCol: String = "text",
                       maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
-    // group-by-bucket → emit+verify pairs inline: one pass over the banded
-    // signatures (a bucket self-join would compute signatures+shingles twice
-    // and shuffle shingle arrays per band). Buckets larger than `maxBucket`
-    // are skipped (standard LSH hot-bucket cap — such buckets are boilerplate
-    // collisions, and the cap bounds per-task pair fan-out). Verification
-    // happens before the pair dedup so only slim (a, b, jaccard) rows shuffle.
-    val withSig = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"),
-      minhashSignature(col(textCol), k, n).as("sig"))
-    val banded = withSig.select(col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        bnd => xxhash64(concat_ws(",", transform(slice(col("sig"), bnd * r + lit(1), lit(r)), v => v.cast("string")))))))
+    val banded = docs
+      .select(col("doc_id"), minhashSignature(col(textCol), k, n).as("sig"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          bnd => xxhash64(concat_ws(",", transform(slice(col("sig"), bnd * r + lit(1), lit(r)), v => v.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val byBucket = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("sh")))).as("ds"))
+    val cand = banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
-    byBucket
       .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p._1.doc_id").as("doc_a"), col("p._2.doc_id").as("doc_b"),
-        round(size(array_intersect(col("p._1.sh"), col("p._2.sh"))).cast("double") /
-          size(array_union(col("p._1.sh"), col("p._2.sh"))).cast("double"), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // shingle only the candidate docs: restrict BEFORE the (costly) shingle
+    // projection so non-candidate text never enters the verify joins
+    val candSh = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+    cand
+      .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
+      .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   // --------------------------------------------------------------- SimHash

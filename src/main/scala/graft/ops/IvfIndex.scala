@@ -45,18 +45,23 @@ object IvfIndex {
     * cells' vectors, return top-k by exact cosine. */
   def topK(index: Index, queries: DataFrame, k: Int = 5, nProbe: Int = 3,
            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val probed = q.join(broadcast(index.centroids))
-      .withColumn("ccos", Similarity.cosine(col("qv"), col("centroid")))
+    // query norm once per query (not per probed pair) — the join boundary
+    // keeps the norm expression out of the per-pair projection
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      Similarity.norm(col(vecCol)).as("qn"))
+    val cent = index.centroids.withColumn("cnorm", Similarity.norm(col("centroid")))
+    val probed = q.join(broadcast(cent))
+      .withColumn("ccos", Similarity.cosineWithNorms(col("qv"), col("centroid"), col("qn"), col("cnorm")))
     val wProbe = Window.partitionBy("query_id").orderBy(desc("ccos"), asc("cell"))
     val cells = probed.withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cell"))
-    val scored = cells.join(index.assigned, Seq("cell"))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+    val assigned = index.assigned.withColumn("en", Similarity.norm(col("embedding")))
+    val scored = cells.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("cos", Similarity.cosine(col("qv"), col("embedding")))
+      .withColumn("cos", Similarity.cosineWithNorms(col("qv"), col("embedding"), col("qn"), col("en")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
         round(col("cos"), 4).as("cos"))

@@ -24,14 +24,25 @@ object Similarity {
     when(d === 0, lit(0.0)).otherwise(dot(x, y) / d)
   }
 
+  /** Cosine from a precomputed norm on each side: ONE zip_with/aggregate
+    * pass per pair instead of three. The norms must be materialized as
+    * columns BEFORE the pair join — a join boundary stops projection
+    * collapse from re-inlining the norm expression into the per-pair
+    * projection (Spark HOFs re-evaluate inlined outer expressions per
+    * element, an O(d²) trap). */
+  def cosineWithNorms(x: Column, y: Column, nx: Column, ny: Column): Column =
+    when(nx === 0 || ny === 0, lit(0.0)).otherwise(dot(x, y) / (nx * ny))
+
   /** Exact top-k neighbors for each query vector (brute force — the
     * correctness baseline; linear in corpus size, broadcast the queries). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -41,28 +52,60 @@ object Similarity {
   /** Random-hyperplane LSH bucket id: `nBits`-bit sign signature. Hyperplane
     * components are deterministic ±1 weights derived from (bit, dim) — a
     * public standard trick (sign of sum of ±-weighted coords ≈ random
-    * hyperplane for high dims). */
-  def lshBucket(vec: Column, nBits: Int = 12): Column = {
+    * hyperplane for high dims). `table` offsets the hyperplane seeds so
+    * multiple independent hash tables can be built from the same function. */
+  def lshBucket(vec: Column, nBits: Int = 12, table: Int = 0): Column = {
     val bits = (0 until nBits).map { b =>
       val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
         (v, i) => v.cast("double") *
-          when(pmod(xxhash64(lit(b), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          when(pmod(xxhash64(lit(table * nBits + b), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
         lit(0.0), (acc, x) => acc + x)
       when(s >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
-  /** ANN top-k via LSH buckets (multi-probe = exact bucket only here;
-    * recall/latency trade documented): rank within bucket. */
+  /** ANN top-k via multi-table, multi-probe LSH — the two standard recall
+    * levers composed:
+    *  - `nTables` independent hash tables (independent hyperplane sets);
+    *    a neighbor is a candidate if it collides in ANY table:
+    *    recall = 1 − (1 − p_bucket)^nTables. The corpus side fans out
+    *    ×nTables (the classic index-size-for-recall trade).
+    *  - within each table, each query probes its own bucket plus every
+    *    bucket at Hamming distance ≤ `probeBits` (neighbors that straddle
+    *    one hyperplane land one bit-flip away).
+    * Probe rows live on the small broadcast QUERY side — the corpus scans
+    * once, fans out nTables slim (bucket, id, vec) rows, and joins by hash
+    * probe with NO shuffle; only the final per-query ranking shuffles the
+    * surviving candidates. The same pair can collide in several tables, so
+    * candidates are deduped before ranking. Recall is gated in Ops2Spec
+    * against `bruteForceTopK` on the bench embedding distribution. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5, nBits: Int = 12,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), nBits).as("bucket")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
-    val scored = q.join(c, Seq("bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              probeBits: Int = 1, nTables: Int = 4): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 1, "probeBits 0 (exact bucket) or 1 (flip-one)")
+    require(nTables >= 1)
+    def tableBuckets(vec: Column, flips: Boolean): Column =
+      array((0 until nTables).flatMap { t =>
+        val b0 = lshBucket(vec, nBits, t)
+        val base = struct(lit(t).as("tbl"), b0.as("bucket"))
+        if (!flips) Seq(base)
+        else base +: (0 until nBits).map(b =>
+          struct(lit(t).as("tbl"), b0.bitwiseXOR(lit(1L << b)).as("bucket")))
+      }: _*)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"), norm(col(vecCol)).as("qn"),
+        explode(tableBuckets(col(vecCol), flips = probeBits == 1)).as("tb"))
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket")))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), norm(col(vecCol)).as("cn"),
+        explode(tableBuckets(col(vecCol), flips = false)).as("tb"))
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val scored = q.join(c, Seq("tbl", "bucket")).filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -74,12 +117,12 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, nBits: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withB = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nBits).as("bucket"))
-    val a = withB.select(col("bucket"), col("id").as("a"), col("v").as("va"))
-    val b = withB.select(col("bucket"), col("id").as("b"), col("v").as("vb"))
+      lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("nrm"))
+    val a = withB.select(col("bucket"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withB.select(col("bucket"), col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))
       .filter(col("a") < col("b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("a").as("id_a"), col("b").as("id_b"), round(col("cos"), 4).as("cos"))
       .dropDuplicates("id_a", "id_b")

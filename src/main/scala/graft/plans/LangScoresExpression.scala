@@ -1,0 +1,104 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `lang_scores(text)` as a native Catalyst expression: one imperative pass
+  * over the normalized text that extracts DISTINCT char trigrams and
+  * accumulates an idf-weighted overlap score per language profile — a
+  * trigram present in k of the L profiles contributes (L−k)/(L−1), so
+  * language-unique trigrams weigh 1.0 and pan-European ones (" de", "es ")
+  * weigh 0. Weighted overlap separates related languages (es/pt, de/nl) far
+  * better than the discriminative-set count it replaces: shared-but-skewed
+  * trigrams keep partial signal instead of being dropped.
+  *
+  * Per-row the kernel is a single substring loop with ONE global HashMap
+  * probe per distinct trigram (language membership packed in a Long bitmask,
+  * weight derived from its popcount) — the previous higher-order-function
+  * formulation walked a 64+-element char array through three interpreted
+  * lambda layers per row (~10× more per-row work, measured in BENCH q26).
+  *
+  * CodegenFallback for the same reason as [[CrfTagExpression]]: the kernel is
+  * a JVM loop; the surrounding projection/scan still codegens.
+  *
+  * Returns struct<lang: string, scores: array<double>, n_trigrams: int> with
+  * `scores` aligned to the constructor's `langs` order; argmax ties break to
+  * the later (lexicographically last) language; empty text → lang "".
+  */
+case class LangScoresExpression(child: Expression, langs: Seq[String],
+                                profiles: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  require(langs.length == profiles.length, "one profile per language")
+  require(langs.length >= 2 && langs.length <= 64, "2..64 language profiles")
+
+  override def dataType: DataType = LangScoresExpression.scoresType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_scores"
+
+  /** trigram → bitmask of the profiles containing it. */
+  @transient private lazy val masks: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    profiles.zipWithIndex.foreach { case (p, l) =>
+      p.foreach { g =>
+        val prev = m.get(g)
+        m.put(g, (if (prev == null) 0L else prev.longValue()) | (1L << l))
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    val t = " " + raw.toLowerCase(Locale.ROOT).replaceAll("\\s+", " ") + " "
+    val nLangs = langs.length
+    val seen = new java.util.HashSet[String](math.max(16, t.length * 2))
+    val scores = new Array[Double](nLangs)
+    var i = 0
+    val last = t.length - 3
+    while (i <= last) {
+      val g = t.substring(i, i + 3)
+      if (seen.add(g)) {
+        val mask = masks.get(g)
+        if (mask != null) {
+          var m = mask.longValue()
+          val w = (nLangs - java.lang.Long.bitCount(m)).toDouble / (nLangs - 1)
+          while (m != 0L) {
+            val l = java.lang.Long.numberOfTrailingZeros(m)
+            scores(l) += w
+            m &= m - 1
+          }
+        }
+      }
+      i += 1
+    }
+    val lang =
+      if (seen.isEmpty) ""
+      else {
+        var best = 0
+        var l = 1
+        while (l < nLangs) {
+          if (scores(l) >= scores(best)) best = l
+          l += 1
+        }
+        langs(best)
+      }
+    InternalRow(UTF8String.fromString(lang), new GenericArrayData(scores), seen.size)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangScoresExpression =
+    copy(child = newChild)
+}
+
+object LangScoresExpression {
+  val scoresType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("scores", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("n_trigrams", IntegerType, nullable = false)))
+}

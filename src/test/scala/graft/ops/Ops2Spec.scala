@@ -28,17 +28,71 @@ class Ops2Spec extends AnyFunSuite {
     assert(full === exact)
   }
 
-  test("trigram langid separates en/de/fr on unseen sentences") {
+  test("LSH top-k recall@5 gated vs brute force (multi-table, multi-probe)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // (probeBits, nTables, floor): the q31 config (1,4) must clear the real
+    // gate; the single-table single-probe row pins the recall ladder so a
+    // bucketing regression is visible. Uniform-random 64-d vectors are the
+    // hardest case for sign-LSH (true neighbors have cosine ≈ 0.4).
+    // measured on this fixture: 0.02 (single table/probe), 0.38 ((1,4) —
+    // theory: 1-(1-p_bucket)^4 ≈ 0.4 at neighbor cosine ≈ 0.4)
+    for ((probeBits, nTables, floor) <- Seq((0, 1, 0.01), (1, 4, 0.30))) {
+      val lsh = Similarity.lshTopK(emb, queries, k = 5, nBits = 8,
+          probeBits = probeBits, nTables = nTables)
+        .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (exact & lsh).size.toDouble / exact.size
+      info(f"LSH recall@5 = $recall%.3f (nBits=8, probeBits=$probeBits, nTables=$nTables)")
+      assert(recall >= floor, s"probeBits=$probeBits nTables=$nTables recall $recall < $floor")
+    }
+  }
+
+  test("trigram langid separates en/de/fr/es/it/pt/nl on unseen sentences") {
     val samples = Seq(
       ("the weather report said it would rain on the northern coast today", "en"),
       ("children were playing in the garden while their parents watched", "en"),
       ("die kinder spielten im garten während ihre eltern zuschauten", "de"),
       ("das wetter wird morgen besser und die sonne scheint wieder", "de"),
       ("les enfants jouaient dans le jardin pendant que leurs parents regardaient", "fr"),
-      ("la météo annonce de la pluie sur la côte nord pour demain", "fr"))
+      ("la météo annonce de la pluie sur la côte nord pour demain", "fr"),
+      ("los niños jugaban en el jardín mientras sus padres los miraban desde la casa", "es"),
+      ("el pronóstico dice que mañana lloverá en la costa del norte según los expertos", "es"),
+      ("i bambini giocavano nel giardino mentre i loro genitori li guardavano dalla casa", "it"),
+      ("le previsioni dicono che domani pioverà sulla costa del nord secondo gli esperti", "it"),
+      ("as crianças brincavam no jardim enquanto os seus pais as observavam da casa", "pt"),
+      ("a previsão diz que amanhã vai chover na costa do norte segundo os especialistas", "pt"),
+      ("de kinderen speelden in de tuin terwijl hun ouders vanuit het huis toekeken", "nl"),
+      ("het weerbericht zegt dat het morgen gaat regenen aan de noordelijke kust", "nl"),
+      ("please remember to close the door when you leave the house tonight", "en"),
+      ("the students finished their homework before the teacher arrived", "en"),
+      ("bitte denk daran die tür zu schließen wenn du heute abend das haus verlässt", "de"),
+      ("die schüler beendeten ihre hausaufgaben bevor der lehrer ankam", "de"),
+      ("n'oublie pas de fermer la porte quand tu quittes la maison ce soir", "fr"),
+      ("les étudiants ont terminé leurs devoirs avant l'arrivée du professeur", "fr"),
+      ("por favor recuerda cerrar la puerta cuando salgas de casa esta noche", "es"),
+      ("los estudiantes terminaron sus deberes antes de que llegara el profesor", "es"),
+      ("per favore ricordati di chiudere la porta quando esci di casa stasera", "it"),
+      ("gli studenti hanno finito i compiti prima che arrivasse il professore", "it"),
+      ("por favor lembra-te de fechar a porta quando saíres de casa esta noite", "pt"),
+      ("os estudantes terminaram os trabalhos antes de o professor chegar", "pt"),
+      ("vergeet niet de deur te sluiten als je vanavond het huis verlaat", "nl"),
+      ("de studenten maakten hun huiswerk af voordat de leraar aankwam", "nl"))
     val got = samples.toDF("text", "want")
       .withColumn("got", LangId.detect(col("text")))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
     got.foreach { case (t, want, g) => assert(g === want, s"text: $t") }
+  }
+
+  test("langid kernel edge cases: empty, single char, null") {
+    val df = Seq(Option(""), Option("a"), None).toDF("text")
+      .select(col("text"), LangId.detect(col("text")).as("lang"),
+        LangId.score(col("text"), "en").as("en_score"))
+    val rows = df.collect()
+    assert(rows(0).getString(1) === "")          // no trigrams → ""
+    assert(rows(0).getDouble(2) === 0.0)
+    assert(rows(1).getString(1).nonEmpty)         // " a " has one trigram
+    assert(rows(2).isNullAt(1))                   // null in → null out
   }
 }
