@@ -54,14 +54,19 @@ object Featurizer {
     Bilou.tagsFromOffsets(tokensWithoutCls(tokens), entities.map(e => (e.start, e.end, e.entity)))
 
   /** Reference `gold_example_to_crf_tokens` (`train.py:17-60`): the composed
-    * train/eval prep for one example. */
-  def goldExampleToCrfTokens(example: Example, bilou: Boolean = true): IndexedSeq[CrfToken] = {
+    * train/eval prep for one example. `dense` = (vector source, CLS pooling)
+    * when the dense-features path is on. */
+  def goldExampleToCrfTokens(example: Example, bilou: Boolean = true,
+                             dense: Option[(VectorSource, String)] = None): IndexedSeq[CrfToken] = {
     val tokens =
       if (example.pretokenized) example.tokens
       else graft.text.RuleTokenizer.tokenizeWithCls(example.text)
     val tags0 = applyBilouSchema(tokens, example.entities)
     val tags = if (bilou) tags0 else Bilou.removePrefixes(tags0)
-    toCrfTokens(tokens, Some(tags))
+    dense match {
+      case Some((src, pooling)) => DenseFeatures.toCrfTokens(tokens, Some(tags), src, pooling)
+      case None                 => toCrfTokens(tokens, Some(tags))
+    }
   }
 
   /** Atoms one window SLOT contributes for one token (factored out so the

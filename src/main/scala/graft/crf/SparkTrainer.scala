@@ -31,13 +31,20 @@ object SparkTrainer {
       }.filter(_._3.nonEmpty)
     featurized.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // 2. dictionaries: labels (first appearance by sentence order — collect
-    //    keys only, not features) and attr→id, observed (attr,label) pairs
+    // 2. dictionaries: labels (collect keys only, not features) and the
+    //    surviving (attr,label) pairs. The pair frequencies are summed
+    //    distributed (map-side combine) and cut at minFreq BEFORE the collect
+    //    — on web-scale corpora this is what keeps the driver-side dictionary
+    //    bounded (crfsuite min_freq semantics, ref compat.py:24-28: keep
+    //    features with value-summed frequency strictly greater than minFreq).
     val labelSeq = featurized.flatMap(_._3).distinct().collect().sorted.toIndexedSeq
     val lIdx = labelSeq.zipWithIndex.toMap
-    val observedPairs = featurized.flatMap { case (attrs, _, tags) =>
-      attrs.iterator.zip(tags.iterator).flatMap { case (as, t) => as.iterator.map(a => (a, t)) }
-    }.distinct().collect()
+    val minFreq = config.minFreq
+    val observedPairs = featurized.rdd.flatMap { case (attrs, ws, tags) =>
+      attrs.iterator.zip(ws.iterator).zip(tags.iterator).flatMap { case ((as, vs), t) =>
+        as.iterator.zip(vs.iterator).map { case (a, v) => ((a, t), v) }
+      }
+    }.reduceByKey(_ + _).filter(_._2 > minFreq).keys.collect()
     val attrSeq = observedPairs.map(_._1).distinct.sorted.toIndexedSeq
     val aIdx = attrSeq.zipWithIndex.toMap
     val L = labelSeq.length
@@ -62,7 +69,15 @@ object SparkTrainer {
     encoded.count() // materialize before the iteration loop
     featurized.unpersist()
 
-    // 4. optimizer on driver; loss+gradient via treeAggregate per iteration
+    // 4. optimizer on driver; per-partition loss+gradient partials combined
+    //    on the driver in FIXED partition-id order — treeAggregate combines
+    //    in task-arrival order, which makes float summation (and therefore
+    //    the trained weights) vary across runs and core counts. Ordered
+    //    reduce costs one grad array per partition over the wire; with the
+    //    minFreq-bounded dictionary that is the affordable price of the
+    //    repo's bit-determinism invariant. (Weights are reproducible for a
+    //    fixed input partitioning; the partitioning itself comes from the
+    //    caller's Dataset, not from the executor count.)
     val encRdd = encoded.rdd
     val f = new DiffFunction[DenseVector[Double]] {
       def calculate(wv: DenseVector[Double]): (Double, DenseVector[Double]) = {
@@ -72,14 +87,19 @@ object SparkTrainer {
         val localIdx = bcIdx
         val localW = bcW
         val nn = n
-        val seqOp = (acc: (Double, Array[Double]), s: Trainer.EncSent) =>
-          (acc._1 + Trainer.sentenceNllGradPublic(localIdx.value, localW.value, s, acc._2), acc._2)
-        val combOp = (a: (Double, Array[Double]), b: (Double, Array[Double])) => {
+        val partials = encRdd.mapPartitionsWithIndex { (pid, it) =>
+          val g = new Array[Double](nn)
+          var l = 0.0
+          it.foreach(s => l += Trainer.sentenceNllGradPublic(localIdx.value, localW.value, s, g))
+          Iterator.single((pid, l, g))
+        }.collect().sortBy(_._1)
+        var loss = 0.0
+        val grad = new Array[Double](n)
+        partials.foreach { case (_, l, g) =>
+          loss += l
           var i = 0
-          while (i < nn) { a._2(i) += b._2(i); i += 1 }
-          (a._1 + b._1, a._2)
+          while (i < n) { grad(i) += g(i); i += 1 }
         }
-        val (loss, grad) = encRdd.treeAggregate((0.0, new Array[Double](n)))(seqOp, combOp, depth = 2)
         bcW.destroy()
         var totLoss = loss
         if (config.c2 > 0) {

@@ -41,24 +41,34 @@ object Trainer {
   }
 
   /** Build label + attribute dictionaries and the observed (attr,label) param
-    * layout from the training data. Label order = first appearance. */
-  def buildIndex(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])]): FeatureIndex = {
+    * layout from the training data. Label order = first appearance.
+    *
+    * `minFreq` is crfsuite's feature cut-off (ref `compat.py:24-28`): a state
+    * feature (attr,label) gets a parameter only if its value-summed occurrence
+    * frequency exceeds `minFreq` ("no greater than" is dropped). Attributes
+    * left with no surviving label slot are dropped from the dictionary
+    * entirely. The default 0.0 keeps every observed feature (binary features
+    * have weight 1.0 ⇒ freq ≥ 1 > 0), matching crfsuite's default. */
+  def buildIndex(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
+                 minFreq: Double = 0.0): FeatureIndex = {
     val labels = scala.collection.mutable.LinkedHashSet.empty[String]
-    val attrs = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val attrsAll = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     for ((feats, tags) <- sents) {
       tags.foreach(labels += _)
-      feats.foreach(_.foreach(a => if (!attrs.contains(a.attr)) attrs(a.attr) = attrs.size))
+      feats.foreach(_.foreach(a => if (!attrsAll.contains(a.attr)) attrsAll(a.attr) = attrsAll.size))
     }
     val labelSeq = labels.toIndexedSeq
     val lIdx = labelSeq.zipWithIndex.toMap
-    val observed = Array.fill(attrs.size)(new Array[Boolean](labelSeq.length))
+    val freq = Array.fill(attrsAll.size)(new Array[Double](labelSeq.length))
     for ((feats, tags) <- sents; t <- feats.indices; a <- feats(t))
-      observed(attrs(a.attr))(lIdx(tags(t))) = true
+      freq(attrsAll(a.attr))(lIdx(tags(t))) += a.weight
+    val kept = attrsAll.keysIterator.zipWithIndex
+      .filter { case (_, i) => freq(i).exists(_ > minFreq) }.toIndexedSeq
     var p = 0
-    val attrParam = observed.map { row =>
-      row.map { obs => if (obs) { val i = p; p += 1; i } else -1 }
-    }
-    new FeatureIndex(labelSeq, attrs.keys.toIndexedSeq, attrParam, p)
+    val attrParam = kept.map { case (_, i) =>
+      freq(i).map { fr => if (fr > minFreq) { val k = p; p += 1; k } else -1 }
+    }.toArray
+    new FeatureIndex(labelSeq, kept.map(_._1), attrParam, p)
   }
 
   def encode(idx: FeatureIndex,
@@ -151,7 +161,7 @@ object Trainer {
   def train(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
             config: CrfConfig): CrfModel = {
     require(sents.nonEmpty, "empty training set")
-    val idx = buildIndex(sents)
+    val idx = buildIndex(sents, config.minFreq)
     val enc = encode(idx, sents)
     val n = idx.numParams
     // fixed chunk size, NOT core-count-derived: keeps the gradient summation
@@ -203,10 +213,15 @@ object Trainer {
     CrfModel(idx.labels, stateW, transW, config)
   }
 
-  /** Train from raw examples (reference train CLI flow, `train.py:71-129`). */
-  def trainExamples(examples: Seq[Example], config: CrfConfig, bilou: Boolean = true): CrfModel = {
+  /** Train from raw examples (reference train CLI flow, `train.py:71-129`).
+    * `vectors` feeds the dense-features path when
+    * `config.useDenseFeatures` is on (reference: the spaCy md model's vocab). */
+  def trainExamples(examples: Seq[Example], config: CrfConfig, bilou: Boolean = true,
+                    vectors: Option[VectorSource] = None): CrfModel = {
+    val dense =
+      if (config.useDenseFeatures) vectors.map((_, config.denseFeaturesClsPooling)) else None
     val sents = examples.map { ex =>
-      val crfToks = Featurizer.goldExampleToCrfTokens(ex, bilou)
+      val crfToks = Featurizer.goldExampleToCrfTokens(ex, bilou, dense)
       (Featurizer.sentenceFeatures(crfToks, config.features), crfToks.map(_.entity))
     }.filter(_._2.nonEmpty)
     train(sents, config)

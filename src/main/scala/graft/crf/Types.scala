@@ -32,7 +32,13 @@ case class Example(text: String, tokens: IndexedSeq[Tok], entities: IndexedSeq[S
   def pretokenized: Boolean = tokens.nonEmpty
 }
 
-/** Component config (reference defaults at `crf_extractor.py:28-65`). */
+/** Component config (reference defaults at `crf_extractor.py:28-65`).
+  * `minFreq` is crfsuite's `min_freq` cut-off (`compat.py:24-28`): state
+  * features whose occurrence frequency (value-summed, 1.0 per appearance for
+  * the binary features) is no greater than `minFreq` are dropped before
+  * training. Besides noise reduction, this is what bounds the driver-side
+  * attribute dictionary on web-scale corpora (SparkTrainer collects only the
+  * surviving (attr,label) pairs). */
 case class CrfConfig(
     bilou: Boolean = true,
     features: IndexedSeq[IndexedSeq[String]] = CrfConfig.defaultFeatures,
@@ -40,7 +46,13 @@ case class CrfConfig(
     maxIter: Int = 1000,
     c1: Double = 0.1,
     c2: Double = 0.1,
-    allPossibleTransitions: Boolean = true)
+    allPossibleTransitions: Boolean = true,
+    minFreq: Double = 0.0,
+    /** Reference Featurizer cfg (`features.py:30-33`): attach per-token word
+      * vectors (+ pooled CLS) as `dense_features` atoms. Needs a
+      * [[VectorSource]] passed to the trainer/decoder. */
+    useDenseFeatures: Boolean = false,
+    denseFeaturesClsPooling: String = "mean")
 
 object CrfConfig {
   /** Reference default feature window (`crf_extractor.py:36-54`). */

@@ -35,7 +35,7 @@ object JsonExamples {
   * `/root/reference/examples/default-config.json` merged over defaults
   * (`utils.py:8-23`, `crf_extractor.py:86-94`). Keys: `features` (window
   * slots), `c1`, `c2`, `max_iter`, `BILOU_flag`, `algorithm`,
-  * `all_possible_transitions`. */
+  * `all_possible_transitions`, `min_freq`. */
 object ConfigJson {
   def parse(json: String): graft.crf.CrfConfig = {
     val n = new ObjectMapper().readTree(json)
@@ -50,6 +50,11 @@ object ConfigJson {
     if (n.has("algorithm")) cfg = cfg.copy(algorithm = n.get("algorithm").asText())
     if (n.has("all_possible_transitions"))
       cfg = cfg.copy(allPossibleTransitions = n.get("all_possible_transitions").asBoolean())
+    if (n.has("min_freq")) cfg = cfg.copy(minFreq = n.get("min_freq").asDouble())
+    if (n.has("use_dense_features"))
+      cfg = cfg.copy(useDenseFeatures = n.get("use_dense_features").asBoolean())
+    if (n.has("dense_features_cls_pooling"))
+      cfg = cfg.copy(denseFeaturesClsPooling = n.get("dense_features_cls_pooling").asText())
     cfg
   }
 }

@@ -23,6 +23,9 @@ object ModelIO {
     sb.append(",\"c1\":").append(model.config.c1)
     sb.append(",\"c2\":").append(model.config.c2)
     sb.append(",\"allPossibleTransitions\":").append(model.config.allPossibleTransitions)
+    sb.append(",\"minFreq\":").append(model.config.minFreq)
+    sb.append(",\"useDenseFeatures\":").append(model.config.useDenseFeatures)
+    sb.append(",\"denseFeaturesClsPooling\":").append(jstr(model.config.denseFeaturesClsPooling))
     sb.append(",\"features\":[")
     sb.append(model.config.features.map(fl => fl.map(jstr).mkString("[", ",", "]")).mkString(","))
     sb.append("]},\"transitions\":[")
@@ -54,7 +57,14 @@ object ModelIO {
       maxIter = cfgN.get("maxIter").asInt(),
       c1 = cfgN.get("c1").asDouble(),
       c2 = cfgN.get("c2").asDouble(),
-      allPossibleTransitions = cfgN.get("allPossibleTransitions").asBoolean())
+      allPossibleTransitions = cfgN.get("allPossibleTransitions").asBoolean(),
+      // absent in older model files → the reference defaults
+      minFreq = if (cfgN.has("minFreq")) cfgN.get("minFreq").asDouble() else 0.0,
+      useDenseFeatures =
+        if (cfgN.has("useDenseFeatures")) cfgN.get("useDenseFeatures").asBoolean() else false,
+      denseFeaturesClsPooling =
+        if (cfgN.has("denseFeaturesClsPooling")) cfgN.get("denseFeaturesClsPooling").asText()
+        else "mean")
     val trans = root.get("transitions").elements().asScala
       .map(row => row.elements().asScala.map(_.asDouble()).toArray).toArray
     val states = root.get("states").fields().asScala.map { e =>

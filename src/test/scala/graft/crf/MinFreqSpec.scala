@@ -1,0 +1,78 @@
+package graft.crf
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestBase
+import graft.kg.PagesGen
+
+/** crfsuite `min_freq` feature cut-off parity (ref compat.py:24-28): state
+  * features with value-summed occurrence frequency ≤ minFreq are dropped
+  * before training, in both the local and the distributed trainer. */
+class MinFreqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private def restaurantExamples: Seq[Example] =
+    graft.io.MarkdownReader.read(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/examples/restaurent_search.md")))
+
+  test("minFreq=0 keeps every observed feature (crfsuite default)") {
+    val cfg = CrfConfig.restaurantConfig
+    val sents = restaurantExamples.map { ex =>
+      val toks = Featurizer.goldExampleToCrfTokens(ex, cfg.bilou)
+      (Featurizer.sentenceFeatures(toks, cfg.features), toks.map(_.entity))
+    }.filter(_._2.nonEmpty)
+    val idx0 = Trainer.buildIndex(sents, minFreq = 0.0)
+    val idxDefault = Trainer.buildIndex(sents)
+    assert(idx0.attrs === idxDefault.attrs)
+    assert(idx0.numStateParams === idxDefault.numStateParams)
+  }
+
+  test("minFreq=1 drops singleton features, dictionary shrinks, quality holds") {
+    val cfg = CrfConfig.restaurantConfig
+    val sents = restaurantExamples.map { ex =>
+      val toks = Featurizer.goldExampleToCrfTokens(ex, cfg.bilou)
+      (Featurizer.sentenceFeatures(toks, cfg.features), toks.map(_.entity))
+    }.filter(_._2.nonEmpty)
+    val full = Trainer.buildIndex(sents, minFreq = 0.0)
+    val cut = Trainer.buildIndex(sents, minFreq = 1.0)
+    assert(cut.numStateParams < full.numStateParams,
+      s"cut ${cut.numStateParams} vs full ${full.numStateParams}")
+    assert(cut.attrs.length < full.attrs.length)
+    // every surviving (attr,label) slot really occurs more than once
+    val freq = scala.collection.mutable.Map.empty[(String, String), Double]
+    for ((feats, tags) <- sents; t <- feats.indices; a <- feats(t))
+      freq((a.attr, tags(t))) = freq.getOrElse((a.attr, tags(t)), 0.0) + a.weight
+    for (a <- cut.attrs.indices; y <- cut.labels.indices if cut.attrParam(a)(y) >= 0)
+      assert(freq((cut.attrs(a), cut.labels(y))) > 1.0)
+    // the bias feature occurs everywhere → always survives
+    assert(cut.attrIdx.contains("0:bias:bias"))
+  }
+
+  test("min_freq flows through config JSON and model save/load") {
+    val cfg = graft.io.ConfigJson.parse("""{"c1": 0.003, "min_freq": 2}""")
+    assert(cfg.minFreq === 2.0)
+    assert(graft.io.ConfigJson.parse("""{}""").minFreq === 0.0)
+    val model = Trainer.trainExamples(restaurantExamples, cfg.copy(maxIter = 50))
+    val path = java.nio.file.Files.createTempDirectory("minfreq").resolve("m.json").toString
+    graft.io.ModelIO.save(model, path)
+    assert(graft.io.ModelIO.load(path).config.minFreq === 2.0)
+  }
+
+  test("SparkTrainer honors minFreq and stays quality-equal to local") {
+    import spark.implicits._
+    val examples = PagesGen.trainingExamples(42L, 200)
+    val cfg = graft.kg.KgPipeline.pipelineConfig.copy(minFreq = 1.0)
+    val distModel = SparkTrainer.train(spark.createDataset(examples), cfg)
+    val localModel = Trainer.trainExamples(examples, cfg)
+    // identical surviving feature space on both paths
+    assert(distModel.stateW.keySet === localModel.stateW.keySet)
+    // the cut dictionary is a strict subset of the uncut one
+    val uncut = SparkTrainer.train(spark.createDataset(examples),
+      graft.kg.KgPipeline.pipelineConfig)
+    assert(distModel.stateW.keySet.subsetOf(uncut.stateW.keySet))
+    assert(distModel.stateW.size < uncut.stateW.size)
+    // quality holds on the training set despite the cut
+    val rep = EvalReport.evalExamples(distModel, examples)
+    assert(rep.microF1 === 1.0, rep.formatted)
+  }
+}
