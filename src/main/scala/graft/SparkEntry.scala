@@ -353,5 +353,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ opsQueries ++ kgQueries
 
-  def oracleSql: Map[String, String] = relationalSql ++ opsSql
+  /** The KG stages are deterministic (seeded pages, bit-deterministic local
+    * trainer, rounded confidences), so their oracle is a checked-in golden
+    * parquet pin — regenerated deliberately via `graft.run.GoldenDump`,
+    * drift-gated by GoldenKgSpec. DuckDB just reads the pin back. */
+  private val kgSql: Map[String, String] =
+    graft.run.GoldenDump.GoldenQueries.map { name =>
+      name -> s"SELECT * FROM '${graft.run.GoldenDump.goldenFile(name)}'"
+    }.toMap
+
+  def oracleSql: Map[String, String] = relationalSql ++ opsSql ++ kgSql
 }
