@@ -157,10 +157,15 @@ object Trainer {
   def sentenceNllGradPublic(idx: FeatureIndex, w: Array[Double], s: EncSent,
                             grad: Array[Double]): Double = sentenceNllGrad(idx, w, s, grad)
 
-  /** Train from already-featurized sentences. */
+  /** Train from already-featurized sentences. Dispatches on
+    * `config.algorithm`: `lbfgs` (this batch path, reference default) or the
+    * online crfsuite algorithms `l2sgd`/`ap`/`pa`/`arow`
+    * ([[OnlineTrainers]], ref compat.py:15-23). */
   def train(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
             config: CrfConfig): CrfModel = {
     require(sents.nonEmpty, "empty training set")
+    if (OnlineTrainers.supports(config.algorithm)) return OnlineTrainers.train(sents, config)
+    require(config.algorithm == "lbfgs", s"unknown algorithm: ${config.algorithm}")
     val idx = buildIndex(sents, config.minFreq)
     val enc = encode(idx, sents)
     val n = idx.numParams

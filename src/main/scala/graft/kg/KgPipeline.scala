@@ -185,7 +185,15 @@ object KgPipeline {
       .agg(sort_array(collect_list(struct($"start", $"end", $"entity", $"entity_id", $"score"))).as("ms"))
       .filter(size($"ms") >= 2)
 
-    val joined = perSentence.join(sents, Seq("url", "sent_id"))
+    // only sentences whose text can yield SOME relation pattern need to cross
+    // the join shuffle: `between` is always a substring of `text`, so a
+    // sentence containing none of the trigger phrases can never produce a
+    // predicate. The filter runs map-side inside the scan (cheap contains +
+    // one regex) and cuts the shuffled sentence bytes — the dominant cost of
+    // this stage — by the corpus' non-relational fraction.
+    val canMatch = $"text".contains("works at") || $"text".contains("acquired") ||
+      $"text".contains("born in") || $"text".contains("met") || $"text".rlike("\\bin\\b")
+    val joined = perSentence.join(sents.filter(canMatch), Seq("url", "sent_id"))
 
     val pairs = joined.select($"url", $"text", explode(pairCombos($"ms")).as("pr"))
       .select($"url", $"text",

@@ -1,0 +1,103 @@
+package graft.run
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.crf.{CrfDecoder, CrfModel}
+
+/** HTTP model-serving surface, mirroring the reference's FastAPI app
+  * (ref serve.py:13-93) on the JDK's built-in HttpServer (zero extra deps):
+  *
+  *   GET  /status → {"status":"OK","crf_model":"<basename>"}
+  *   POST /parse  {"text": "..."} or {"text": ["...", ...]}
+  *        → {"data":[{"text":"...","entities":[{"start","end","value","entity"}]}]}
+  *
+  * Entity objects carry the same four fields as the reference's `Entity`
+  * model (start/end char offsets, value, entity label); confidence is
+  * intentionally omitted to match the reference response shape. Decoders are
+  * thread-confined (one per worker thread) because CrfDecoder's contribution
+  * cache is not thread-safe.
+  *
+  * Usage: ServeCli -m <model.json> [-p 8000]
+  */
+object ServeCli {
+
+  def main(args: Array[String]): Unit = {
+    val (opts, _) = Cli.parse(args)
+    val modelPath = opts.get("-m").orElse(opts.get("--model"))
+      .getOrElse(sys.error("usage: ServeCli -m <model.json> [-p 8000]"))
+    val port = opts.get("-p").orElse(opts.get("--port")).map(_.toInt).getOrElse(8000)
+    val model = graft.io.ModelIO.load(modelPath)
+    val server = start(model, port, new java.io.File(modelPath).getName)
+    println(s"[serve] listening on :$port (GET /status, POST /parse)")
+    server.getAddress // keep reference
+    Thread.currentThread().join()
+  }
+
+  /** Starts the server (non-blocking) — also the test entry point. */
+  def start(model: CrfModel, port: Int, modelName: String): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    val decoders = ThreadLocal.withInitial(() => new CrfDecoder(model))
+
+    server.createContext("/status", (ex: HttpExchange) =>
+      respond(ex, 200, s"""{"status":"OK","crf_model":${jstr(modelName)}}"""))
+
+    server.createContext("/parse", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val texts = parseTexts(body)
+          val decoder = decoders.get()
+          val data = texts.map { text =>
+            val ents = decoder.process(text).map { s =>
+              s"""{"start":${s.start},"end":${s.end},"value":${jstr(s.value)},"entity":${jstr(s.entity)}}"""
+            }.mkString("[", ",", "]")
+            s"""{"text":${jstr(text)},"entities":$ents}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, s"""{"data":$data}""")
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      }
+    })
+
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    server
+  }
+
+  /** Request body: {"text": "..."} or {"text": ["...", ...]} (ref `Request`). */
+  private[run] def parseTexts(body: String): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    val t = node.get("text")
+    require(t != null, "missing 'text' field")
+    if (t.isTextual) Seq(t.asText())
+    else {
+      import scala.jdk.CollectionConverters._
+      t.elements().asScala.map(_.asText()).toSeq
+    }
+  }
+
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def respond(ex: HttpExchange, code: Int, json: String): Unit = {
+    val bytes = json.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
+  }
+}

@@ -1,0 +1,59 @@
+package graft.io
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** HTTP serving surface (ref serve.py:13-93): /status shape, /parse with a
+  * single string and a batch, entity fields and offsets. */
+class ServeSpec extends AnyFunSuite {
+
+  private lazy val model = {
+    val examples = MarkdownReader.read(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/examples/restaurent_search.md")))
+    graft.crf.Trainer.trainExamples(examples, graft.crf.CrfConfig.restaurantConfig)
+  }
+
+  test("GET /status and POST /parse round-trip") {
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.run.ServeCli.start(model, port, "model.json")
+    try {
+      val client = HttpClient.newHttpClient()
+      val status = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/status")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(status.statusCode() === 200)
+      assert(status.body() === """{"status":"OK","crf_model":"model.json"}""")
+
+      def parse(body: String): String = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/parse"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+
+      // single string (ref Request.text: str)
+      val single = parse("""{"text": "show me chinese restaurants"}""")
+      assert(single ===
+        """{"data":[{"text":"show me chinese restaurants","entities":""" +
+          """[{"start":8,"end":15,"value":"chinese","entity":"cuisine"}]}]}""")
+
+      // batch (ref Request.text: List[str]); second sentence has no entities
+      val batch = parse("""{"text": ["show me chinese restaurants", "hello there"]}""")
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(batch)
+      assert(node.get("data").size() === 2)
+      assert(node.get("data").get(0).get("entities").size() === 1)
+      assert(node.get("data").get(1).get("entities").size() === 0)
+
+      // malformed request → 400 with an error body
+      val bad = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/parse"))
+          .POST(HttpRequest.BodyPublishers.ofString("""{"nope": 1}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() === 400)
+    } finally server.stop(0)
+  }
+}
