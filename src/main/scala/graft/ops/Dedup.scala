@@ -114,18 +114,25 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           bnd => xxhash64(concat_ws(",", transform(slice(col("sig"), bnd * r + lit(1), lit(r)), v => v.cast("string")))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    // cand/candSh are each referenced 2-3 times below; WITHOUT persist every
+    // reference re-inlines (and re-executes) the full banding pipeline —
+    // plan review showed 44 parquet scans and zero ReusedExchange. Both are
+    // small by construction (candidate pairs / candidate docs' shingles), so
+    // explicit persistence is the scale-correct call; Spark's LRU evicts.
     val cand = banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxBucket))
       .select(explode(pairCombos(col("ds"))).as("p"))
       .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // shingle only the candidate docs: restrict BEFORE the (costly) shingle
     // projection so non-candidate text never enters the verify joins
     val candSh = docs.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))
       .join(candSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), Seq("doc_b"))
@@ -164,8 +171,11 @@ object Dedup {
     val width = 64 / chunks
     val withSig = docs.select(col("doc_id"), simhashBits(col(textCol)).as("sig"))
       .withColumn("sigstr", concat_ws("", col("sig")))
+    // referenced three times (within-pairs + both sides of the band join) —
+    // persist so the SimHash bit computation runs once, not per reference
     val sigGroups = withSig.groupBy(col("sigstr")).agg(
       first(col("sig")).as("sig"), sort_array(collect_list(col("doc_id"))).as("docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // within-signature pairs: distance 0
     val within = sigGroups.filter(size(col("docs")) > 1)

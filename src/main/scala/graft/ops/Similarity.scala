@@ -103,9 +103,13 @@ object Similarity {
         explode(tableBuckets(col(vecCol), flips = false)).as("tb"))
       .select(col("neighbor_id"), col("cv"), col("cn"),
         col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    // cosine BEFORE the dedupe: a pair colliding in several tables computes
+    // its (identical) cosine ≤nTables times, but the dedupe then aggregates
+    // slim (long, long, double) rows in a HashAggregate — deduping first
+    // would drag the full vectors through a sort-based distinct instead
     val scored = q.join(c, Seq("tbl", "bucket")).filter(col("query_id") =!= col("neighbor_id"))
-      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("cos", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
+      .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     scored.withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -116,8 +120,11 @@ object Similarity {
     * buckets (never O(n²)). */
   def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, nBits: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // both sides of the self-join read this — persist so buckets and norms
+    // are computed once per vector, not once per join side
     val withB = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("bucket"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = withB.select(col("bucket"), col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))

@@ -51,4 +51,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(last("E1") === ("E1", 3L, 0.9))
     assert(last("E2") === ("E2", 1L, 0.1))
   }
+
+  test("streaming exact dedup drops duplicates within the watermark horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "text", "event_ts")
+    val q = StreamingOps.dedupStream(docs)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_test").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    input.addData((1L, "hello world", ts(0)), (2L, "other text", ts(1)))
+    q.processAllAvailable()
+    // duplicate of doc 1 (same fingerprint after normalization) in batch 2
+    input.addData((3L, "  Hello   WORLD ", ts(2)), (4L, "third text", ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM dedup_test").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 4L), "duplicate doc 3 must be dropped")
+  }
+
+  test("streaming sessionization closes sessions on event-time gaps") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.sessionizeStream(input.toDS(), gapSec = 600, watermark = "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName("sess_test").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // u1: two events 5 min apart (one session), then a 30-min gap (new session)
+    input.addData(("u1", ts(10, 0)), ("u1", ts(10, 5)), ("u2", ts(10, 0)))
+    q.processAllAvailable()
+    input.addData(("u1", ts(10, 35)))
+    q.processAllAvailable()
+    // advance the watermark far past every open session -> all close
+    input.addData(("u3", ts(12, 0)))
+    q.processAllAvailable()
+    input.addData(("u3", ts(13, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, n_events FROM sess_test").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList.sorted
+    // u1: session(10:00,10:05)=2 events closed by the 10:35 event's gap,
+    //     session(10:35)=1 closed by watermark; u2: 1; u3: first session
+    //     closed once 13:00 advanced the watermark past 12:00+gap
+    assert(rows.contains(("u1", 2L)))
+    assert(rows.count(_._1 == "u1") === 2)
+    assert(rows.contains(("u2", 1L)))
+    assert(rows.contains(("u3", 1L)))
+  }
 }
