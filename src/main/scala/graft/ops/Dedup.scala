@@ -35,14 +35,14 @@ object Dedup {
   }
 
   // --------------------------------------------------- token-ngram shingles
-  /** Distinct word-n-gram shingles of the lowercased text, as an array col. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
-    val k = size(toks) - (n - 1)
-    when(k <= 0, array_distinct(array(concat_ws(" ", toks))))
-      .otherwise(array_distinct(transform(sequence(lit(1), k),
-        i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  /** Distinct word-n-gram shingles of the lowercased text, as an array col.
+    * Backed by the [[graft.plans.WordShinglesExpression]] native kernel
+    * (bit-identical to the previous HOF formulation, ~an order of magnitude
+    * less per-row work — see PLANS.md round 2). */
+  def shingles(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.WordShinglesExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
   // ------------------------------------------------------- n-gram Jaccard
   /** Near-duplicate pairs with token-n-gram Jaccard ≥ `threshold`, via an
@@ -75,19 +75,13 @@ object Dedup {
   // ------------------------------------------------------------ MinHash LSH
   /** k minhash values per doc: permutation i = xxhash64 of (shingle-hash, i)
     * (ANSI mode forbids the classic wrapping affine transform; per-seed
-    * hashing is equivalent and overflow-free).
-    *
-    * Computed as ONE aggregate pass over the shingle hashes with an array
-    * accumulator — k separate `array_min(transform(...))` expressions would
-    * re-inline (and re-evaluate) the shingle pipeline k times after project
-    * collapse, which benchmarked ~40× slower. */
-  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column = {
-    val hs = transform(shingles(text, n), s => xxhash64(s))
-    aggregate(hs, array_repeat(lit(Long.MaxValue), k),
-      (acc, h) => zip_with(acc,
-        transform(sequence(lit(0), lit(k - 1)), i => xxhash64(h, i)),
-        (a, b) => least(a, b)))
-  }
+    * hashing is equivalent and overflow-free). Native kernel — one pass over
+    * the shingle set with a k-slot min array
+    * ([[graft.plans.MinhashSignatureExpression]]). */
+  def minhashSignature(text: Column, k: Int = 32, n: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.MinhashSignatureExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), k, n))
 
   /** LSH candidate pairs from banded minhash signatures, verified with exact
     * Jaccard ≥ threshold. bands × rowsPerBand must equal k.
@@ -144,20 +138,13 @@ object Dedup {
   }
 
   // --------------------------------------------------------------- SimHash
-  /** 64-bit SimHash over word-unigram hashes, represented as an array<int> of
-    * bits: per bit, sign of the sum of ±1 votes. The per-hash bit vector is
-    * read off the value's binary-string rendering (two's complement — `bin`
-    * pads negatives to 64 ones/zeros), which keeps everything in built-in
-    * higher-order functions with no variable-shift operators. */
-  def simhashBits(text: Column): Column = {
-    val hs = transform(array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t))
-    // one split per hash (64 substr calls per hash benchmarked ~10× slower)
-    def bits(h: Column): Column =
-      transform(split(lpad(bin(h), 64, "0"), ""), c => when(c === "1", lit(1)).otherwise(lit(-1)))
-    val counts = aggregate(hs, array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, slice(bits(h), 1, 64), _ + _))
-    transform(counts, c => when(c >= 0, lit(1)).otherwise(lit(0)))
-  }
+  /** 64-bit SimHash over word-unigram hashes, as an array<int> of bits (MSB
+    * first): per bit, sign of the sum of ±1 votes. Native kernel
+    * ([[graft.plans.SimhashBitsExpression]]). */
+  def simhashBits(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.SimhashBitsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
   /** Near-dup pairs with Hamming(simhash) ≤ maxDist via pigeonhole banding:
     * split the 64-bit signature into maxDist+1 chunks; any pair within

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The native shingle/minhash/simhash kernels must be BIT-IDENTICAL to the
+  * higher-order-function formulations they replaced (same tokenization, same
+  * Spark XXH64 fold, same bit order) — the dedup candidate sets and the q22
+  * DuckDB oracle depend on it. The old formulas are restated inline here as
+  * the executable reference. */
+class TextHashKernelsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "one two",                 // fewer tokens than n
+    "single",
+    "",                        // empty text
+    "  padded   with   runs   of spaces  ",
+    "MIXED Case ÜNICODE tökens straße",
+    "dup dup dup dup",         // distinctness
+    "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+
+  private def df = samples.toDF("text")
+
+  test("word_shingles == HOF formulation") {
+    def hofShingles(text: org.apache.spark.sql.Column, n: Int) = {
+      val toks = split(lower(trim(text)), "\\s+")
+      val k = size(toks) - (n - 1)
+      when(k <= 0, array_distinct(array(concat_ws(" ", toks))))
+        .otherwise(array_distinct(transform(sequence(lit(1), k),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+    }
+    for (n <- Seq(2, 3)) {
+      val rows = df.select(graft.ops.Dedup.shingles($"text", n).as("k"),
+        hofShingles($"text", n).as("h")).collect()
+      rows.zip(samples).foreach { case (r, s) =>
+        assert(r.getSeq[String](0) === r.getSeq[String](1), s"n=$n text='$s'")
+      }
+    }
+  }
+
+  test("minhash_signature == HOF formulation") {
+    def hofSig(text: org.apache.spark.sql.Column, k: Int, n: Int) = {
+      val toks = split(lower(trim(text)), "\\s+")
+      val kk = size(toks) - (n - 1)
+      val sh = when(kk <= 0, array_distinct(array(concat_ws(" ", toks))))
+        .otherwise(array_distinct(transform(sequence(lit(1), kk),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+      val hs = transform(sh, s => xxhash64(s))
+      aggregate(hs, array_repeat(lit(Long.MaxValue), k),
+        (acc, h) => zip_with(acc,
+          transform(sequence(lit(0), lit(k - 1)), i => xxhash64(h, i)),
+          (a, b) => least(a, b)))
+    }
+    val rows = df.select(graft.ops.Dedup.minhashSignature($"text", 32, 3).as("k"),
+      hofSig($"text", 32, 3).as("h")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"text='$s'")
+    }
+  }
+
+  test("simhash_bits == HOF formulation") {
+    def hofBits(text: org.apache.spark.sql.Column) = {
+      val hs = transform(array_distinct(split(lower(trim(text)), "\\s+")), t => xxhash64(t))
+      def bits(h: org.apache.spark.sql.Column) =
+        transform(split(lpad(bin(h), 64, "0"), ""), c => when(c === "1", lit(1)).otherwise(lit(-1)))
+      val counts = aggregate(hs, array_repeat(lit(0), 64),
+        (acc, h) => zip_with(acc, slice(bits(h), 1, 64), _ + _))
+      transform(counts, c => when(c >= 0, lit(1)).otherwise(lit(0)))
+    }
+    val rows = df.select(graft.ops.Dedup.simhashBits($"text").as("k"), hofBits($"text").as("h")).collect()
+    rows.zip(samples).foreach { case (r, s) =>
+      assert(r.getSeq[Int](0) === r.getSeq[Int](1), s"text='$s'")
+    }
+  }
+
+  test("null text → null outputs") {
+    val r = Seq(Option.empty[String]).toDF("text")
+      .select(graft.ops.Dedup.shingles($"text", 3),
+        graft.ops.Dedup.minhashSignature($"text"),
+        graft.ops.Dedup.simhashBits($"text")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+}
