@@ -7,14 +7,22 @@ import org.apache.spark.sql.SparkSession
   * docs/sec + triples/sec throughput. Prints ONE JSON line. */
 object Bench {
 
-  def session(cpus: String): SparkSession = SparkSession.builder()
-    .master(s"local[$cpus]")
-    .appName("graft-bench")
-    .config("spark.sql.shuffle.partitions", cpus)
-    .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  def session(cpus: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_LOCAL_DIR=/dev/shm/... puts shuffle files on tmpfs for the
+    // scaling runs: this single-VM sandbox shares ONE disk across all
+    // threads, so disk-bound shuffle IO caps thread scaling in a way a real
+    // cluster (per-executor disks, network that grows with N) does not.
+    // Benchmark-methodology knob only; never set for the driver contract.
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
+    b.getOrCreate()
+  }
 
   /** KG throughput: pages → sentences → mentions → links → triples, all
     * in-memory (no checkpoint IO — this measures compute, not disk).

@@ -4,19 +4,21 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Connected components as pure DataFrame iteration (no RDD — input_hint asks
-  * for Dataset/Catalyst throughout).
+  * for Dataset/Catalyst throughout). Two algorithms:
   *
-  * Algorithm: iterated min-label propagation — each node adopts the smallest
-  * component id among itself and its neighbors until fixpoint. Convergence is
-  * O(component diameter) rounds; canonicalization components are surface-
-  * variant clusters (star-like, diameter ≤ ~4), so this converges in a handful
-  * of shuffles. For adversarially long chains the published alternating
-  * large-star/small-star scheme (Kiveris et al., "Connected Components in
-  * MapReduce", SOCC'14 — see PAPERS.md) drops rounds to O(log n); not needed
-  * at this stage's cardinality (distinct surfaces ≪ corpus size).
+  *  - `run` (min-label propagation): each node adopts the smallest component
+  *    id among itself and its neighbors until fixpoint — O(diameter) rounds.
+  *    Right default for canonicalization components (surface-variant
+  *    clusters are star-like, diameter ≤ ~4 ⇒ a handful of shuffles).
+  *  - `runBigStar` (alternating large-star/small-star, Kiveris et al.,
+  *    "Connected Components in MapReduce and Beyond", SOCC'14 — PAPERS.md):
+  *    O(log n) rounds regardless of diameter — the scale path for arbitrary
+  *    graphs (long chains, billion-edge web graphs) where label propagation
+  *    would shuffle the full label table once per diameter hop.
   *
-  * Each round is checkpointed via localCheckpoint to cut the growing lineage.
-  */
+  * Both return identical (node, canon_id = min node of the component)
+  * labelings (CcSpec cross-checks them on chain/star/random graphs). Each
+  * round is localCheckpoint'ed to cut the growing lineage. */
 object ConnectedComponents {
 
   /** nodes: single column `node` (string). edges: `node_a`, `node_b`.
@@ -48,6 +50,61 @@ object ConnectedComponents {
       labels = updated
       it += 1
     }
+    if (!converged) {
+      // diameter > maxIter: label propagation would silently return a
+      // partially-converged labeling (caught by CcSpec's 40-node chain).
+      // Hand the graph to the O(log n) algorithm instead of iterating on.
+      return runBigStar(nodes, edges)
+    }
+    labels.select(col("node"), concat(lit("C:"), col("comp")).as("canon_id"))
+  }
+
+  /** Alternating large-star/small-star (Kiveris et al. SOCC'14): converges in
+    * O(log n) rounds on ANY graph shape. Per round:
+    *  - large-star: every node connects its strictly-larger neighbors to the
+    *    minimum of its closed neighborhood;
+    *  - small-star: edges oriented large→small; every node connects its
+    *    smaller-or-equal neighbors (and itself) to that minimum.
+    * At fixpoint the edge set is a star forest (node → component minimum). */
+  def runBigStar(nodes: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a"), col("b"))
+        .union(e.select(col("b").as("a"), col("a").as("b")))
+      val m = sym.groupBy("a").agg(least(min(col("b")), first(col("a"))).as("m"))
+      sym.join(m, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient each edge large→small, group by the large end
+      val d = e.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      val m = d.groupBy("a").agg(min(col("b")).as("m"))
+      val g = d.join(m, "a")
+      g.filter(col("b") =!= col("m")).select(col("b").as("a"), col("m").as("b"))
+        .union(g.select(col("a"), col("m").as("b")))
+        .distinct()
+    }
+    var e = edges.select(col("node_a").as("a"), col("node_b").as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    var converged = e.isEmpty
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint = identical edge sets; both are distinct, so compare one
+      // order-independent checksum per side (2 tiny aggregates, no join)
+      def sig(df: DataFrame) = df
+        // decimal sum: ANSI mode would throw on bigint overflow of random hashes
+        .agg(count(lit(1)), sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect()(0)
+      converged = sig(next) == sig(e)
+      e = next
+      it += 1
+    }
+    // star forest: b = component min for every non-root a; roots + isolated
+    // nodes label themselves
+    val labels = nodes.join(e.withColumnRenamed("b", "comp"),
+        nodes("node") === e("a"), "left")
+      .select(col("node"), coalesce(col("comp"), col("node")).as("comp"))
     labels.select(col("node"), concat(lit("C:"), col("comp")).as("canon_id"))
   }
 }

@@ -44,6 +44,13 @@ object Dedup {
       graft.plans.WordShinglesExpression(
         org.apache.spark.sql.GraftColumnBridge.expression(text), n))
 
+  /** xxhash64 of each distinct shingle — the slim posting key for inverted-
+    * index joins (8 bytes/row instead of the shingle string). */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.WordShingleHashesExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
   // ------------------------------------------------------- n-gram Jaccard
   /** Near-duplicate pairs with token-n-gram Jaccard ≥ `threshold`, via an
     * inverted-index join. `maxDf` drops boilerplate shingles before the join
@@ -54,8 +61,10 @@ object Dedup {
     // group-by-shingle → emit pairs: ONE pass over the posting list (a
     // self-join would scan/explode the corpus twice — no exchange reuse
     // across a broadcast boundary), no window sort, per-shingle pair count
-    // bounded by the stop-shingle cap (≤ maxDf·(maxDf−1)/2)
-    val withSh = docs.select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+    // bounded by the stop-shingle cap (≤ maxDf·(maxDf−1)/2). The posting key
+    // is the 64-bit shingle HASH, not the string — same distinct counts
+    // (collisions ~n²/2⁶⁴), a fraction of the exchange bytes.
+    val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
     val posting = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
     val byShingle = posting.groupBy(col("shingle"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
@@ -125,7 +134,7 @@ object Dedup {
     // shingle only the candidate docs: restrict BEFORE the (costly) shingle
     // projection so non-candidate text never enters the verify joins
     val candSh = docs.join(ids, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col(textCol), n).as("sh"))
+      .select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(candSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), Seq("doc_a"))

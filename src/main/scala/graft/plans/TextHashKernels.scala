@@ -75,6 +75,31 @@ case class WordShinglesExpression(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `word_shingle_hashes(text)` → array<long>: xxhash64 of each distinct
+  * shingle (same tokenization/hash as the other kernels). For inverted-index
+  * joins the 8-byte hash replaces the shingle STRING in the posting-list
+  * shuffle — at web scale that is most of the exchange's bytes; a 64-bit
+  * collision producing a spurious candidate pair is ~n²/2⁶⁴ and candidates
+  * are exactness-verified downstream anyway. */
+case class WordShingleHashesExpression(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any = {
+    val sh = TextHash.shingles(input.asInstanceOf[UTF8String], n)
+    val out = new Array[Long](sh.size)
+    val it = sh.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = TextHash.hashString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpression =
+    copy(child = newChild)
+}
+
 /** `minhash_signature(text)` → array<long>: k minhash values over the
   * distinct shingle set; permutation i = xxhash64(xxhash64(shingle), i)
   * (Spark hash-fold semantics: hashInt(i, hashLong(h, 42))). */

@@ -61,21 +61,33 @@ object ScalingBench {
       } finally spark.stop()
     }
 
-    // Host CPU availability fluctuates (shared sandbox with burst credits) —
-    // interleave the two levels and take the MEDIAN round per level: medians
-    // reflect steady-state CPU allotment, not burst windows.
+    // Host CPU availability fluctuates (shared sandbox with burst credits,
+    // which DRAIN over a run) — so (a) interleave the two levels, (b)
+    // ALTERNATE which level goes first each round (a fixed order
+    // systematically hands the second level more-drained credits), and (c)
+    // take the median of the PAIRED per-round efficiencies, which is robust
+    // to slow drift that medians-of-walls are not.
     val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double)]]()
       .withDefaultValue(Nil)
-    for (r <- 0 until rounds; c <- Seq(low, high)) {
-      val m = measureOnce(c, warm = r == 0)
-      System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f")
-      samples(c) = m :: samples(c)
+    val pairEffs = scala.collection.mutable.ListBuffer.empty[Double]
+    for (r <- 0 until rounds) {
+      val order = if (r % 2 == 0) Seq(low, high) else Seq(high, low)
+      val walls = scala.collection.mutable.Map.empty[Int, Double]
+      for (c <- order) {
+        val m = measureOnce(c, warm = r == 0)
+        System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f")
+        samples(c) = m :: samples(c)
+        walls(c) = m._4
+      }
+      val e = (walls(low) / walls(high)) / (high.toDouble / low)
+      System.err.println(f"[scaling] round $r paired efficiency = $e%.3f")
+      pairEffs += e
     }
     def median(c: Int) = samples(c).sortBy(_._4).apply(samples(c).length / 2)
     val (dLow, tLow, n1, wallLow) = median(low)
     val (dHigh, tHigh, n2, wallHigh) = median(high)
     require(n1 == n2, s"nondeterministic triple count: $n1 vs $n2")
-    val eff = (wallLow / wallHigh) / (high.toDouble / low)
+    val eff = pairEffs.sorted.apply(pairEffs.length / 2)
 
     val md =
       f"""# BENCH — KG pipeline scaling evidence
@@ -90,7 +102,8 @@ object ScalingBench {
          || local[$low%d] | $wallLow%.1f | $dLow%.1f | $tLow%.1f |
          || local[$high%d] | $wallHigh%.1f | $dHigh%.1f | $tHigh%.1f |
          |
-         |**Scaling efficiency (T_$low%d / T_$high%d) / ${high / low}%d = $eff%.3f** (target ≥ 0.8).
+         |**Scaling efficiency = $eff%.3f** (median of paired per-round
+         |(T_$low%d / T_$high%d) / ${high / low}%d; target ≥ 0.8). Per-round: ${pairEffs.map(e => f"$e%.3f").mkString(", ")}.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)
     println(md)
