@@ -237,7 +237,8 @@ object SparkEntry {
       Similarity.cosineDupPairs(emb.union(perturbed), threshold = 0.98, nBits = 8)
     }),
     "q40_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(t(s, dir, "documents"))),
-    "q41_media_decode" -> ((s, dir) => Multimodal.decodeMeta(t(s, dir, "documents")).toDF()))
+    "q41_media_decode" -> ((s, dir) => Multimodal.decodeMeta(t(s, dir, "documents")).toDF()),
+    "q42_media_image" -> ((s, dir) => Multimodal.imagePipeline(t(s, dir, "documents")).toDF()))
 
   private val opsSql: Map[String, String] = Map(
     "q20_textstats" ->

@@ -8,20 +8,95 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch processing — same schema/partitioning/batch-shape
   * concerns, Scala iterator instead of Arrow/pandas).
   *
-  * The actual media decode is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake dimensions/features
-  * from the bytes. The Spark-side plumbing — binary column handling, schema,
-  * explicit repartition before the heavy stage, batch iteration — is real
-  * and tested; swap `decodeStub` for a real codec on a cluster with native
-  * libs. */
+  * Decode is REAL for the codecs the JDK ships (`javax.imageio`:
+  * PNG/JPEG/GIF/BMP; `javax.sound.sampled`: WAV/AIFF headers) — dimensions,
+  * mean luminance, sample rate, duration. Payloads no JDK codec accepts
+  * (e.g. the text stand-in bytes of the synthetic corpus, or codecs needing
+  * native libs — webp, video) fall back to `decodeStub`, which derives
+  * deterministic pseudo-metadata from the bytes so the pipeline shape stays
+  * testable; swap the fallback for a native codec on a cluster that has
+  * one. */
 object Multimodal {
 
   case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
                        width: Int, height: Int, mean_byte: Double)
 
-  /** ===== STUB ===== deterministic fake decode: dimensions and a "feature"
-    * derived from the payload bytes. A real implementation would decode the
-    * codec here; everything around it stays identical. */
+  /** Real decode where the JDK can (image first, then audio header), stub
+    * fallback otherwise. */
+  def decodeMedia(docId: Long, bytes: Array[Byte]): MediaMeta =
+    decodeImage(docId, bytes)
+      .orElse(decodeAudioMeta(docId, bytes))
+      .getOrElse(decodeStub(docId, bytes))
+
+  /** `javax.imageio` decode: real width/height + mean luminance (0..255),
+    * format from the matching reader. None when no JDK reader accepts. */
+  def decodeImage(docId: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    val in = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val fmt = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)
+        val img = reader.read(0)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601-ish luminance
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        val mean = sum.toDouble / (img.getWidth.toLong * img.getHeight)
+        Some(MediaMeta(docId, bytes.length, fmt, img.getWidth, img.getHeight,
+          math.round(mean * 100).toDouble / 100))
+      } finally reader.dispose()
+    } catch { case _: Exception => None } finally if (in != null) in.close()
+  }
+
+  /** `javax.sound.sampled` header parse: WAV/AIFF/AU. width = sample rate in
+    * Hz, height = channels, mean_byte = duration in ms (header-only — no
+    * full PCM decode needed for metadata). */
+  def decodeAudioMeta(docId: Long, bytes: Array[Byte]): Option[MediaMeta] =
+    try {
+      val in = new java.io.ByteArrayInputStream(bytes)
+      val fileFormat = javax.sound.sampled.AudioSystem.getAudioFileFormat(in)
+      val af = fileFormat.getFormat
+      val frames = fileFormat.getFrameLength
+      val durMs =
+        if (frames > 0 && af.getFrameRate > 0) frames * 1000.0 / af.getFrameRate else 0.0
+      Some(MediaMeta(docId, bytes.length,
+        fileFormat.getType.getExtension.toLowerCase(java.util.Locale.ROOT),
+        af.getSampleRate.toInt, af.getChannels, math.round(durMs * 100).toDouble / 100))
+    } catch { case _: Exception => None }
+
+  /** Pure-JVM image resize (Graphics2D bilinear) back to PNG bytes — the
+    * batched "transform" stage of an image-curation pipeline. */
+  def resizePng(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, w, h, null)
+        g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(bos.toByteArray)
+      }
+    } catch { case _: Exception => None }
+
+  /** ===== FALLBACK ===== deterministic pseudo-decode for payloads no JDK
+    * codec accepts: dimensions and a "feature" derived from the bytes, so
+    * the pipeline stays end-to-end runnable on the text stand-in corpus. */
   def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
     val h = graft.kg.Synth.splitmix64(docId)
     val fmt = Array("jpeg", "png", "webp").apply(((((h >>> 3) % 3) + 3) % 3).toInt)
@@ -50,7 +125,51 @@ object Multimodal {
       .select(col("doc_id"), col("payload"))
       .repartition(p, pmod(xxhash64(col("doc_id")), lit(p)))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => decodeStub(id, bytes) })
+      .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
+  }
+
+  /** Deterministic synthetic PNG (seeded pixels) — gives the REAL
+    * decode/resize path genuine codec work without external data. */
+  def synthPng(docId: Long, w: Int = 32, h: Int = 24): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var seed = graft.kg.Synth.splitmix64(docId)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        seed = graft.kg.Synth.splitmix64(seed + 1)
+        img.setRGB(x, y, (seed & 0xffffffL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  case class ImageRow(doc_id: Long, format: String, width: Int, height: Int,
+                      mean_byte: Double, r_width: Int, r_height: Int, r_mean: Double)
+
+  /** Full image-curation stage on REAL codecs: synthesize a deterministic
+    * PNG per doc (standing in for fetched bytes), decode (javax.imageio),
+    * bilinear-resize to a thumbnail, decode again — the batched per-partition
+    * shape of a production decode/transform pass. */
+  def imagePipeline(docs: DataFrame, thumbW: Int = 16, thumbH: Int = 12): Dataset[ImageRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    docs.select(col("doc_id"))
+      .repartition(p, pmod(xxhash64(col("doc_id")), lit(p)))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val png = synthPng(id)
+        val m = decodeMedia(id, png)
+        val thumb = resizePng(png, thumbW, thumbH).get
+        val tm = decodeMedia(id, thumb)
+        ImageRow(id, m.format, m.width, m.height, m.mean_byte,
+          tm.width, tm.height, tm.mean_byte)
+      })
   }
 
   /** Pure-column metadata path (no decode needed): byte length + magic-number
