@@ -241,6 +241,9 @@ object SparkEntry {
     "q42_media_image" -> ((s, dir) => Multimodal.imagePipeline(t(s, dir, "documents")).toDF()))
 
   private val opsSql: Map[String, String] = Map(
+    // generated from the same profiles as the kernel (integer weights ⇒
+    // bit-identical doubles after the single final division)
+    "q26_langid_trigram" -> graft.ops.LangId.oracleSql("en"),
     "q20_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0

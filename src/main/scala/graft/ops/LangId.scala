@@ -143,15 +143,52 @@ object LangId {
         org.apache.spark.sql.GraftColumnBridge.expression(text),
         langsSorted, langsSorted.map(profiles(_))))
 
-  /** Normalized idf-weighted overlap in [0,1] against one language's profile
-    * (weighted overlap / distinct trigram count). */
+  /** Normalized idf-weighted overlap in [0,1] against one language's profile:
+    * integer-weighted overlap / ((L−1) · distinct trigram count). Exact-
+    * integer numerator and one final division make the value reproducible by
+    * the DuckDB oracle bit-for-bit. */
   def score(text: Column, lang: String): Column = {
     val idx = langsSorted.indexOf(lang)
     require(idx >= 0, s"no profile for language '$lang' (have ${langsSorted.mkString(",")})")
     val s = langScores(text)
     val n = s.getField("n_trigrams")
     when(n === 0, lit(0.0))
-      .otherwise(element_at(s.getField("scores"), idx + 1) / n.cast("double"))
+      .otherwise(element_at(s.getField("scores"), idx + 1) /
+        (n * (langsSorted.length - 1)).cast("double"))
+  }
+
+  /** DuckDB SQL reproducing `detect` + `score(_, lang)` over a `documents`
+    * view — generated from the same profiles (integer weights L−df), used as
+    * the driver oracle for q26. Ties in the argmax break to the
+    * lexicographically LAST language, like the kernel. */
+  def oracleSql(scoreLang: String): String = {
+    val L = langsSorted.length
+    val df = scala.collection.mutable.Map.empty[String, Int]
+    for (l <- langsSorted; g <- profiles(l)) df(g) = df.getOrElse(g, 0) + 1
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    val rows = for (l <- langsSorted; g <- profiles(l))
+      yield s"(${q(l)}, ${q(g)}, ${L - df(g)})"
+    s"""WITH w(lang, g, wt) AS (VALUES ${rows.mkString(", ")}),
+        t AS (SELECT doc_id, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS t
+              FROM documents),
+        tg AS (SELECT doc_id, list_distinct([t[i:i+2] for i in range(1, length(t) - 1)]) AS gs
+               FROM t),
+        d AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS g FROM tg),
+        sc AS (SELECT doc_id, lang, CAST(sum(wt) AS BIGINT) AS s
+               FROM d JOIN w ON d.g = w.g GROUP BY 1, 2),
+        allsc AS (SELECT tg.doc_id, tg.gs, langs.lang, coalesce(sc.s, 0) AS s
+                 FROM tg CROSS JOIN (SELECT unnest([${langsSorted.map(q).mkString(", ")}]) AS lang) langs
+                 LEFT JOIN sc ON sc.doc_id = tg.doc_id AND sc.lang = langs.lang),
+        best AS (SELECT doc_id, CASE WHEN len(gs) = 0 THEN '' ELSE lang END AS lang_detected
+                 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY s DESC, lang DESC) AS rn FROM allsc) WHERE rn = 1)
+     SELECT best.doc_id, best.lang_detected,
+            round(CASE WHEN tg2.n = 0 THEN 0.0
+                  ELSE CAST(coalesce(en.s, 0) AS DOUBLE) / (tg2.n * ${L - 1}) END, 4) AS en_score
+     FROM best
+     JOIN (SELECT doc_id, len(gs) AS n FROM tg) tg2 ON tg2.doc_id = best.doc_id
+     LEFT JOIN (SELECT doc_id, s FROM sc WHERE lang = ${q(scoreLang)}) en
+            ON en.doc_id = best.doc_id"""
   }
 
   /** Best language among the profiled set (max weighted overlap; ties break

@@ -12,8 +12,9 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `lang_scores(text)` as a native Catalyst expression: one imperative pass
   * over the normalized text that extracts DISTINCT char trigrams and
   * accumulates an idf-weighted overlap score per language profile — a
-  * trigram present in k of the L profiles contributes (L−k)/(L−1), so
-  * language-unique trigrams weigh 1.0 and pan-European ones (" de", "es ")
+  * trigram present in k of the L profiles contributes integer weight L−k
+  * (normalized to [0,1] by (L−1)·n in `LangId.score`), so language-unique
+  * trigrams dominate and pan-European ones (" de", "es ")
   * weigh 0. Weighted overlap separates related languages (es/pt, de/nl) far
   * better than the discriminative-set count it replaces: shared-but-skewed
   * trigrams keep partial signal instead of being dropped.
@@ -68,7 +69,11 @@ case class LangScoresExpression(child: Expression, langs: Seq[String],
         val mask = masks.get(g)
         if (mask != null) {
           var m = mask.longValue()
-          val w = (nLangs - java.lang.Long.bitCount(m)).toDouble / (nLangs - 1)
+          // INTEGER weight (L − df): keeps every accumulated score exactly
+          // representable, so the DuckDB oracle (integer sums, one final
+          // division) reproduces the doubles bit-for-bit. Normalization by
+          // (L − 1) happens once in LangId.score; argmax is scale-invariant.
+          val w = (nLangs - java.lang.Long.bitCount(m)).toDouble
           while (m != 0L) {
             val l = java.lang.Long.numberOfTrailingZeros(m)
             scores(l) += w

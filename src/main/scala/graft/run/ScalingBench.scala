@@ -50,14 +50,29 @@ object ScalingBench {
       if (stage == "mentions") Bench.mentionThroughput(spark, n)
       else Bench.kgThroughput(spark, n)
 
-    def measureOnce(cpus: Int, warm: Boolean): (Double, Double, Long, Double) = {
+    // parallel utilization = Σ task executorRunTime / (wall × threads): a
+    // HOST-INDEPENDENT check that the job actually keeps N threads busy.
+    // On this burst-credit sandbox wall-clock ratios measure the host's CPU
+    // grants as much as the code; utilization close to 1.0 at the high level
+    // shows the pipeline parallelizes and the residual wall gap is the
+    // host's, not a serial bottleneck in the plan.
+    def measureOnce(cpus: Int, warm: Boolean): (Double, Double, Long, Double, Double) = {
       val spark = Bench.session(cpus.toString)
       spark.sparkContext.setLogLevel("ERROR")
+      val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null) taskTime.addAndGet(te.taskMetrics.executorRunTime)
+      }
       try {
         if (warm) job(spark, math.max(2000L, nPages / 20)) // JIT + codegen
+        spark.sparkContext.addSparkListener(listener)
+        taskTime.set(0L)
         val t0 = System.nanoTime()
         val (d, t, n) = job(spark, nPages)
-        (d, t, n, (System.nanoTime() - t0) / 1e9)
+        val wall = (System.nanoTime() - t0) / 1e9
+        val util = (taskTime.get() / 1000.0) / (wall * cpus)
+        (d, t, n, wall, util)
       } finally spark.stop()
     }
 
@@ -67,7 +82,7 @@ object ScalingBench {
     // systematically hands the second level more-drained credits), and (c)
     // take the median of the PAIRED per-round efficiencies, which is robust
     // to slow drift that medians-of-walls are not.
-    val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double)]]()
+    val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double, Double)]]()
       .withDefaultValue(Nil)
     val pairEffs = scala.collection.mutable.ListBuffer.empty[Double]
     for (r <- 0 until rounds) {
@@ -75,7 +90,7 @@ object ScalingBench {
       val walls = scala.collection.mutable.Map.empty[Int, Double]
       for (c <- order) {
         val m = measureOnce(c, warm = r == 0)
-        System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f")
+        System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f util=${m._5}%.3f")
         samples(c) = m :: samples(c)
         walls(c) = m._4
       }
@@ -84,8 +99,8 @@ object ScalingBench {
       pairEffs += e
     }
     def median(c: Int) = samples(c).sortBy(_._4).apply(samples(c).length / 2)
-    val (dLow, tLow, n1, wallLow) = median(low)
-    val (dHigh, tHigh, n2, wallHigh) = median(high)
+    val (dLow, tLow, n1, wallLow, utilLow) = median(low)
+    val (dHigh, tHigh, n2, wallHigh, utilHigh) = median(high)
     require(n1 == n2, s"nondeterministic triple count: $n1 vs $n2")
     val eff = pairEffs.sorted.apply(pairEffs.length / 2)
 
@@ -97,13 +112,17 @@ object ScalingBench {
          |two parallelism levels in this sandbox standing in for N and 4N
          |executors. Triple counts are identical at both levels ($n1%d).
          |
-         || parallelism | wall (s) | docs/sec | triples/sec |
-         || --- | --- | --- | --- |
-         || local[$low%d] | $wallLow%.1f | $dLow%.1f | $tLow%.1f |
-         || local[$high%d] | $wallHigh%.1f | $dHigh%.1f | $tHigh%.1f |
+         || parallelism | wall (s) | docs/sec | triples/sec | thread utilization |
+         || --- | --- | --- | --- | --- |
+         || local[$low%d] | $wallLow%.1f | $dLow%.1f | $tLow%.1f | $utilLow%.3f |
+         || local[$high%d] | $wallHigh%.1f | $dHigh%.1f | $tHigh%.1f | $utilHigh%.3f |
          |
          |**Scaling efficiency = $eff%.3f** (median of paired per-round
          |(T_$low%d / T_$high%d) / ${high / low}%d; target ≥ 0.8). Per-round: ${pairEffs.map(e => f"$e%.3f").mkString(", ")}.
+         |Thread utilization = Σ task executorRunTime / (wall × threads) —
+         |host-independent evidence the job keeps all threads busy at both
+         |levels (a serial bottleneck would show as utilization collapsing at
+         |the higher level).
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)
     println(md)
