@@ -8,10 +8,16 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   def session(cpus: String): SparkSession = {
+    // SPARK_GRAFT_SHUFFLE_MULT > 1 gives each stage mult×cpus shuffle tasks:
+    // with exactly cpus partitions a single straggler idles every other
+    // thread for the stage tail; finer tasks pack the tail (the utilization
+    // listener in ScalingBench showed ~33% idle at mult=1). AQE still
+    // coalesces genuinely tiny partitions.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt
     val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", (cpus.toInt * mult).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -103,7 +103,7 @@ object OnlineTrainers {
   def train(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
             config: CrfConfig): CrfModel = {
     require(supports(config.algorithm), s"unsupported algorithm: ${config.algorithm}")
-    val idx = Trainer.buildIndex(sents, config.minFreq)
+    val idx = Trainer.buildIndex(sents, config.minFreq, config.allPossibleStates)
     val enc = Trainer.encode(idx, sents).filter(_.gold.nonEmpty).toArray
     val n = idx.numParams
     // crfsuite's own defaults for these algorithms are ~100 epochs/iterations

@@ -50,7 +50,7 @@ object Trainer {
     * entirely. The default 0.0 keeps every observed feature (binary features
     * have weight 1.0 ⇒ freq ≥ 1 > 0), matching crfsuite's default. */
   def buildIndex(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
-                 minFreq: Double = 0.0): FeatureIndex = {
+                 minFreq: Double = 0.0, allPossibleStates: Boolean = false): FeatureIndex = {
     val labels = scala.collection.mutable.LinkedHashSet.empty[String]
     val attrsAll = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     for ((feats, tags) <- sents) {
@@ -59,6 +59,17 @@ object Trainer {
     }
     val labelSeq = labels.toIndexedSeq
     val lIdx = labelSeq.zipWithIndex.toMap
+    if (allPossibleStates) {
+      // crfsuite all_possible_states=True (ref compat.py:30-42): the full
+      // A×L grid gets parameters — negative state features included. The
+      // min_freq cut does not apply to generated features (crfsuite
+      // semantics: generation happens after the cut-off of observed ones).
+      var p = 0
+      val attrParam = Array.fill(attrsAll.size)(Array.tabulate(labelSeq.length) { _ =>
+        val k = p; p += 1; k
+      })
+      return new FeatureIndex(labelSeq, attrsAll.keys.toIndexedSeq, attrParam, p)
+    }
     val freq = Array.fill(attrsAll.size)(new Array[Double](labelSeq.length))
     for ((feats, tags) <- sents; t <- feats.indices; a <- feats(t))
       freq(attrsAll(a.attr))(lIdx(tags(t))) += a.weight
@@ -166,7 +177,7 @@ object Trainer {
     require(sents.nonEmpty, "empty training set")
     if (OnlineTrainers.supports(config.algorithm)) return OnlineTrainers.train(sents, config)
     require(config.algorithm == "lbfgs", s"unknown algorithm: ${config.algorithm}")
-    val idx = buildIndex(sents, config.minFreq)
+    val idx = buildIndex(sents, config.minFreq, config.allPossibleStates)
     val enc = encode(idx, sents)
     val n = idx.numParams
     // fixed chunk size, NOT core-count-derived: keeps the gradient summation

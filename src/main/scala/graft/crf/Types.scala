@@ -47,6 +47,10 @@ case class CrfConfig(
     c1: Double = 0.1,
     c2: Double = 0.1,
     allPossibleTransitions: Boolean = true,
+    /** crfsuite `all_possible_states` (`compat.py:30-42`): when true, every
+      * (attribute, label) pair gets a parameter — negative state features —
+      * instead of only observed pairs. Off by default, like crfsuite. */
+    allPossibleStates: Boolean = false,
     minFreq: Double = 0.0,
     /** Reference Featurizer cfg (`features.py:30-33`): attach per-token word
       * vectors (+ pooled CLS) as `dense_features` atoms. Needs a

@@ -50,6 +50,8 @@ object ConfigJson {
     if (n.has("algorithm")) cfg = cfg.copy(algorithm = n.get("algorithm").asText())
     if (n.has("all_possible_transitions"))
       cfg = cfg.copy(allPossibleTransitions = n.get("all_possible_transitions").asBoolean())
+    if (n.has("all_possible_states"))
+      cfg = cfg.copy(allPossibleStates = n.get("all_possible_states").asBoolean())
     if (n.has("min_freq")) cfg = cfg.copy(minFreq = n.get("min_freq").asDouble())
     if (n.has("use_dense_features"))
       cfg = cfg.copy(useDenseFeatures = n.get("use_dense_features").asBoolean())

@@ -24,6 +24,7 @@ object ModelIO {
     sb.append(",\"c2\":").append(model.config.c2)
     sb.append(",\"allPossibleTransitions\":").append(model.config.allPossibleTransitions)
     sb.append(",\"minFreq\":").append(model.config.minFreq)
+    sb.append(",\"allPossibleStates\":").append(model.config.allPossibleStates)
     sb.append(",\"useDenseFeatures\":").append(model.config.useDenseFeatures)
     sb.append(",\"denseFeaturesClsPooling\":").append(jstr(model.config.denseFeaturesClsPooling))
     sb.append(",\"features\":[")
@@ -60,6 +61,8 @@ object ModelIO {
       allPossibleTransitions = cfgN.get("allPossibleTransitions").asBoolean(),
       // absent in older model files → the reference defaults
       minFreq = if (cfgN.has("minFreq")) cfgN.get("minFreq").asDouble() else 0.0,
+      allPossibleStates =
+        if (cfgN.has("allPossibleStates")) cfgN.get("allPossibleStates").asBoolean() else false,
       useDenseFeatures =
         if (cfgN.has("useDenseFeatures")) cfgN.get("useDenseFeatures").asBoolean() else false,
       denseFeaturesClsPooling =

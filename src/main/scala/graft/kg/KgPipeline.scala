@@ -96,6 +96,12 @@ object KgPipeline {
         substring(alias("entity_id"), 1, 3) === mentions("entity"), "inner")
       .withColumn("score", col("prior") * col("confidence"))
     scored
+      // ONE exchange on (url, sent_id) serves this whole tail: hash
+      // partitioning on a SUBSET of the grouping keys satisfies the agg's
+      // clustered distribution, and the partitioning survives into the
+      // downstream per-sentence grouping and the sentences join in
+      // `triples` — 3 exchanges collapse to 1 (+ the sents side)
+      .repartition(col("url"), col("sent_id"))
       .groupBy(col("url"), col("sent_id"), col("start"))
       .agg(max(struct(col("score"), col("entity_id"), col("end"), col("value"),
         col("entity"))).as("top"))

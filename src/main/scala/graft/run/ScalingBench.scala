@@ -56,7 +56,11 @@ object ScalingBench {
     // grants as much as the code; utilization close to 1.0 at the high level
     // shows the pipeline parallelizes and the residual wall gap is the
     // host's, not a serial bottleneck in the plan.
-    def measureOnce(cpus: Int, warm: Boolean): (Double, Double, Long, Double, Double) = {
+    // cpuSec = JVM process CPU time actually consumed by the run — the
+    // host-grant-independent measure of WORK. cpu_low ≈ cpu_high means the
+    // 4× parallelism adds no wasted cycles (no contention/spill inflation);
+    // the wall ratio is then set by the host's CPU grants, not the code.
+    def measureOnce(cpus: Int, warm: Boolean): (Double, Double, Long, Double, Double, Double) = {
       val spark = Bench.session(cpus.toString)
       spark.sparkContext.setLogLevel("ERROR")
       val taskTime = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -64,15 +68,19 @@ object ScalingBench {
         override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (te.taskMetrics != null) taskTime.addAndGet(te.taskMetrics.executorRunTime)
       }
+      val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
       try {
         if (warm) job(spark, math.max(2000L, nPages / 20)) // JIT + codegen
         spark.sparkContext.addSparkListener(listener)
         taskTime.set(0L)
+        val cpu0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         val (d, t, n) = job(spark, nPages)
         val wall = (System.nanoTime() - t0) / 1e9
+        val cpuSec = (osBean.getProcessCpuTime - cpu0) / 1e9
         val util = (taskTime.get() / 1000.0) / (wall * cpus)
-        (d, t, n, wall, util)
+        (d, t, n, wall, util, cpuSec)
       } finally spark.stop()
     }
 
@@ -82,7 +90,7 @@ object ScalingBench {
     // systematically hands the second level more-drained credits), and (c)
     // take the median of the PAIRED per-round efficiencies, which is robust
     // to slow drift that medians-of-walls are not.
-    val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double, Double)]]()
+    val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double, Double, Double)]]()
       .withDefaultValue(Nil)
     val pairEffs = scala.collection.mutable.ListBuffer.empty[Double]
     for (r <- 0 until rounds) {
@@ -90,7 +98,7 @@ object ScalingBench {
       val walls = scala.collection.mutable.Map.empty[Int, Double]
       for (c <- order) {
         val m = measureOnce(c, warm = r == 0)
-        System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f util=${m._5}%.3f")
+        System.err.println(f"[scaling] round $r cpus=$c wall=${m._4}%.1f s docs/s=${m._1}%.1f util=${m._5}%.3f cpu=${m._6}%.1f s")
         samples(c) = m :: samples(c)
         walls(c) = m._4
       }
@@ -99,8 +107,9 @@ object ScalingBench {
       pairEffs += e
     }
     def median(c: Int) = samples(c).sortBy(_._4).apply(samples(c).length / 2)
-    val (dLow, tLow, n1, wallLow, utilLow) = median(low)
-    val (dHigh, tHigh, n2, wallHigh, utilHigh) = median(high)
+    val (dLow, tLow, n1, wallLow, utilLow, cpuLow) = median(low)
+    val (dHigh, tHigh, n2, wallHigh, utilHigh, cpuHigh) = median(high)
+    val workEff = cpuLow / cpuHigh
     require(n1 == n2, s"nondeterministic triple count: $n1 vs $n2")
     val eff = pairEffs.sorted.apply(pairEffs.length / 2)
 
@@ -112,20 +121,23 @@ object ScalingBench {
          |two parallelism levels in this sandbox standing in for N and 4N
          |executors. Triple counts are identical at both levels ($n1%d).
          |
-         || parallelism | wall (s) | docs/sec | triples/sec | thread utilization |
-         || --- | --- | --- | --- | --- |
-         || local[$low%d] | $wallLow%.1f | $dLow%.1f | $tLow%.1f | $utilLow%.3f |
-         || local[$high%d] | $wallHigh%.1f | $dHigh%.1f | $tHigh%.1f | $utilHigh%.3f |
+         || parallelism | wall (s) | docs/sec | triples/sec | thread utilization | process CPU (s) |
+         || --- | --- | --- | --- | --- | --- |
+         || local[$low%d] | $wallLow%.1f | $dLow%.1f | $tLow%.1f | $utilLow%.3f | $cpuLow%.1f |
+         || local[$high%d] | $wallHigh%.1f | $dHigh%.1f | $tHigh%.1f | $utilHigh%.3f | $cpuHigh%.1f |
          |
          |**Scaling efficiency = $eff%.3f** (median of paired per-round
          |(T_$low%d / T_$high%d) / ${high / low}%d; target ≥ 0.8). Per-round: ${pairEffs.map(e => f"$e%.3f").mkString(", ")}.
          |Thread utilization = Σ task executorRunTime / (wall × threads) —
          |host-independent evidence the job keeps all threads busy at both
          |levels (a serial bottleneck would show as utilization collapsing at
-         |the higher level).
+         |the higher level). **Work efficiency (CPU_$low%d / CPU_$high%d) =
+         |$workEff%.3f**: total process CPU consumed for the SAME work at the
+         |two levels — parallelization overhead, independent of the host's
+         |CPU grants.
          |""".stripMargin
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), md)
     println(md)
-    println(f"""{"scaling_efficiency":$eff%.3f,"low_cpus":$low,"high_cpus":$high,"docs_per_sec_low":$dLow%.1f,"docs_per_sec_high":$dHigh%.1f,"pages":$nPages}""")
+    println(f"""{"scaling_efficiency":$eff%.3f,"work_efficiency":$workEff%.3f,"util_low":$utilLow%.3f,"util_high":$utilHigh%.3f,"low_cpus":$low,"high_cpus":$high,"docs_per_sec_low":$dLow%.1f,"docs_per_sec_high":$dHigh%.1f,"pages":$nPages}""")
   }
 }

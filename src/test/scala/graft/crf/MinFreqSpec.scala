@@ -48,6 +48,27 @@ class MinFreqSpec extends AnyFunSuite {
     assert(cut.attrIdx.contains("0:bias:bias"))
   }
 
+  test("all_possible_states generates the full A x L grid (negative features)") {
+    val cfg = CrfConfig.restaurantConfig
+    val sents = restaurantExamples.map { ex =>
+      val toks = Featurizer.goldExampleToCrfTokens(ex, cfg.bilou)
+      (Featurizer.sentenceFeatures(toks, cfg.features), toks.map(_.entity))
+    }.filter(_._2.nonEmpty)
+    val observed = Trainer.buildIndex(sents)
+    val full = Trainer.buildIndex(sents, allPossibleStates = true)
+    assert(full.numStateParams === full.attrs.length * full.labels.length)
+    assert(full.numStateParams > observed.numStateParams)
+    assert(full.attrs === observed.attrs)
+    // config key parses and a model trains + evals clean with the dense grid
+    assert(graft.io.ConfigJson.parse("""{"all_possible_states": true}""").allPossibleStates)
+    val model = Trainer.trainExamples(restaurantExamples,
+      cfg.copy(allPossibleStates = true, maxIter = 200))
+    assert(EvalReport.evalExamples(model, restaurantExamples).microF1 === 1.0)
+    val path = java.nio.file.Files.createTempDirectory("aps").resolve("m.json").toString
+    graft.io.ModelIO.save(model, path)
+    assert(graft.io.ModelIO.load(path).config.allPossibleStates)
+  }
+
   test("min_freq flows through config JSON and model save/load") {
     val cfg = graft.io.ConfigJson.parse("""{"c1": 0.003, "min_freq": 2}""")
     assert(cfg.minFreq === 2.0)
