@@ -208,6 +208,10 @@ object SparkEntry {
       Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
     "q24_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashDupPairs(docsWithDups(s, dir), maxDist = 3)),
+    "q27_token_counts" -> ((s, dir) => t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextStats.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextStats.bpeishCount(col("text")).cast("long").as("n_bpeish"))),
     "q25_langid" -> ((s, dir) => t(s, dir, "documents")
       .select(col("doc_id"), round(TextStats.stopwordRatio(col("text")), 4).as("stopword_ratio"),
         TextStats.isEnglishHeuristic(col("text")).as("is_en"))),
@@ -244,6 +248,12 @@ object SparkEntry {
     // generated from the same profiles as the kernel (integer weights ⇒
     // bit-identical doubles after the single final division)
     "q26_langid_trigram" -> graft.ops.LangId.oracleSql("en"),
+    "q27_token_counts" ->
+      """SELECT doc_id,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish
+         FROM documents""",
     "q20_textstats" ->
       """SELECT doc_id, length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0

@@ -14,10 +14,11 @@ object TextStats {
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
 
   /** BPE-ish subword token count: runs of letters, runs of digits, single
-    * other non-space chars — a cheap proxy for tokenizer-cost estimation. */
+    * other non-space chars — a cheap proxy for tokenizer-cost estimation.
+    * Plain alternation regex (no lookarounds) so the DuckDB oracle's RE2
+    * engine computes the identical count. */
   def bpeishCount(text: Column): Column =
-    size(filter(split(text, "(?<=[a-zA-Z])(?=[^a-zA-Z])|(?<=[0-9])(?=[^0-9])|(?<=[^a-zA-Z0-9])(?=.)|\\s+"),
-      s => length(s) > 0 && s =!= " "))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
   /** Punctuation ratio over non-space chars. */
   def punctRatio(text: Column): Column = {

@@ -93,4 +93,21 @@ class OpsSpec extends AnyFunSuite {
     val again = Multimodal.decodeMeta(df, partitions = 2).collect().map(m => m.doc_id -> m).toMap
     assert(meta === again)
   }
+
+  test("token counts: whitespace and BPE-ish subword proxy") {
+    val df = Seq(
+      ("hello world", 2, 2),
+      ("can't stop won't stop", 4, 8),         // can ' t stop won ' t stop
+      ("abc123 x-9", 2, 5),                    // abc 123 x - 9
+      ("", 0, 0),
+      ("   spaced   out   ", 2, 2)).toDF("text", "ws", "bpeish")
+    val rows = df.select(
+      TextStats.tokenCount(col("text")).as("w"),
+      TextStats.bpeishCount(col("text")).as("b"),
+      col("ws"), col("bpeish")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(0) === r.getInt(2), r.toString)
+      assert(r.getInt(1) === r.getInt(3), r.toString)
+    }
+  }
 }
