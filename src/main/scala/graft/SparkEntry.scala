@@ -120,6 +120,15 @@ object SparkEntry {
       sess.groupBy(col("user_id"))
         .agg(max(col("session_id")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
+    "q12_topk_custom" -> ((s, dir) => {
+      // the custom bounded-heap top-k operator (logical node + strategy +
+      // physical partial/final, graft.plans.TopKPerKey) — same semantics as
+      // q04's window row_number, gated against the same DuckDB oracle
+      graft.plans.TopK.perKey(t(s, dir, "orders"),
+          Seq(col("o_custkey")), Seq(desc("o_totalprice"), asc("o_orderkey")), k = 3)
+        .select(col("o_custkey"), col("rn").cast("long").as("rn"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+    }),
     "q11_grouping_sets" -> ((s, dir) => {
       t(s, dir, "orders")
         .cube(col("o_orderstatus"), col("o_orderpriority"))
@@ -145,6 +154,11 @@ object SparkEntry {
       """SELECT p_brand, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1""",
     "q04_window_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)
+         WHERE rn <= 3""",
+    "q12_topk_custom" ->
       """SELECT o_custkey, rn, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders)

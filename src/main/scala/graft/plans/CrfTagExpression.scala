@@ -95,6 +95,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(children.length == 1, "crf_tag(text) takes exactly one argument")
         CrfTagExpression(children.head, GraftExtensions.modelFromConf())
       }))
+    // top-k-per-key: rule rewrites Filter(rn<=k, Window(row_number)) into the
+    // bounded-heap operator; strategy plans it (partial + exchange + final)
+    ext.injectOptimizerRule(_ => RewriteRowNumberTopK)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
 

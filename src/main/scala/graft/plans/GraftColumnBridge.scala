@@ -4,8 +4,21 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Column → fully-converted CATALYST expression (UnresolvedAttribute /
+    * SortOrder with catalyst children) — `expression(c)` returns a lazy
+    * ColumnNode wrapper that is neither resolvable by generic rules nor
+    * serializable; this converter is what the classic Dataset API itself
+    * uses. */
+  def catalystExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** DataFrame from a custom logical plan (Dataset.ofRows is private[sql]). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }
