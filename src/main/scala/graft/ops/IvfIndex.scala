@@ -60,10 +60,9 @@ object IvfIndex {
     val scored = cells.join(assigned, Seq("cell"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("cos", Similarity.cosineWithNorms(col("qv"), col("embedding"), col("qn"), col("en")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("vec_id").as("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(desc("cos"), asc("vec_id")), k, rnName = "rnk")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 }

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over an embedding column (`array<float>`): brute-force
   * cosine top-k as the exact baseline, random-hyperplane LSH bucketing as the
@@ -43,10 +42,12 @@ object Similarity {
       norm(col(vecCol)).as("cn"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    // rank via the bounded-heap top-k operator (graft.plans.TopKPerKey):
+    // k survivors per query cross the exchange instead of every scored pair
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(desc("cos"), asc("neighbor_id")), k, rnName = "rnk")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Random-hyperplane LSH bucket id: `nBits`-bit sign signature. Hyperplane
@@ -110,10 +111,10 @@ object Similarity {
     val scored = q.join(c, Seq("tbl", "bucket")).filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosineWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
       .groupBy(col("query_id"), col("neighbor_id")).agg(max(col("cos")).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("rnk"), col("neighbor_id"), round(col("cos"), 4).as("cos"))
+    graft.plans.TopK.perKey(scored, Seq(col("query_id")),
+        Seq(desc("cos"), asc("neighbor_id")), k, rnName = "rnk")
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"),
+        col("neighbor_id"), round(col("cos"), 4).as("cos"))
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from LSH
