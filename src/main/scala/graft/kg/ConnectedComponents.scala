@@ -35,18 +35,19 @@ object ConnectedComponents {
     while (!converged && it < maxIter) {
       val neighborMin = sym.join(labels, sym("b") === labels("node"))
         .groupBy(sym("a").as("node")).agg(min(col("comp")).as("ncomp"))
+      // convergence observed INSIDE the round's own materialization job
+      // (Dataset.observe piggybacks on the localCheckpoint action) — no
+      // separate comparison job per round
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
       val updated = labels.join(neighborMin, Seq("node"), "left")
         .select(col("node"),
           when(col("ncomp").isNotNull && col("ncomp") < col("comp"), col("ncomp"))
-            .otherwise(col("comp")).as("comp"))
+            .otherwise(col("comp")).as("comp"),
+          (col("ncomp").isNotNull && col("ncomp") < col("comp")).as("changed"))
+        .observe(obs, sum(when(col("changed"), 1L).otherwise(0L)).as("changes"))
+        .select("node", "comp")
         .localCheckpoint()
-      // convergence check every 2nd round — each check is a full job, and
-      // label-propagation needs O(diameter) rounds anyway
-      if (it % 2 == 1 || it == maxIter - 1) {
-        val changes = updated.join(labels.withColumnRenamed("comp", "old"), "node")
-          .filter(col("comp") =!= col("old")).limit(1).count()
-        converged = changes == 0
-      }
+      converged = obs.get("changes").asInstanceOf[Long] == 0L
       labels = updated
       it += 1
     }
@@ -87,17 +88,21 @@ object ConnectedComponents {
     }
     var e = edges.select(col("node_a").as("a"), col("node_b").as("b"))
       .filter(col("a") =!= col("b")).distinct().localCheckpoint()
-    var converged = e.isEmpty
+    // fixpoint = identical edge sets; both sides are distinct, so one
+    // order-independent checksum per side suffices — computed once per
+    // round (the previous round's checksum is carried over, not recomputed)
+    def sig(df: DataFrame) = df
+      // decimal sum: ANSI mode would throw on bigint overflow of random hashes
+      .agg(count(lit(1)), sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect()(0)
+    var eSig = sig(e)
+    var converged = eSig.getLong(0) == 0L
     var it = 0
     while (!converged && it < maxIter) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      // fixpoint = identical edge sets; both are distinct, so compare one
-      // order-independent checksum per side (2 tiny aggregates, no join)
-      def sig(df: DataFrame) = df
-        // decimal sum: ANSI mode would throw on bigint overflow of random hashes
-        .agg(count(lit(1)), sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect()(0)
-      converged = sig(next) == sig(e)
+      val nextSig = sig(next)
+      converged = nextSig == eSig
       e = next
+      eSig = nextSig
       it += 1
     }
     // star forest: b = component min for every non-root a; roots + isolated
