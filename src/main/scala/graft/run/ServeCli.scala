@@ -64,9 +64,55 @@ object ServeCli {
       }
     })
 
+    // highlighted-entity demo (the reference's visualize.py Gradio
+    // HighlightedText surface, ref visualize.py:23-45, as plain HTML):
+    // GET /visualize?text=... renders the decode with <mark> spans
+    server.createContext("/visualize", (ex: HttpExchange) => {
+      try {
+        val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        val text = q.split("&").collectFirst {
+          case p if p.startsWith("text=") =>
+            java.net.URLDecoder.decode(p.drop(5), StandardCharsets.UTF_8)
+        }.getOrElse("George Walker Bush (born July 6, 1946) is an American politician.")
+        val spans = decoders.get().process(text)
+        val sb = new StringBuilder
+        var pos = 0
+        for (s <- spans.sortBy(_.start)) {
+          sb.append(esc(text.substring(pos, s.start)))
+          sb.append(s"""<mark title="${esc(s.entity)} (${f"${s.confidence}%.3f"})">""")
+            .append(esc(text.substring(s.start, s.end)))
+            .append(s""" <small>${esc(s.entity)}</small></mark>""")
+          pos = s.end
+        }
+        sb.append(esc(text.substring(pos)))
+        val html =
+          s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft ner</title>
+             |<style>body{font-family:sans-serif;max-width:48em;margin:2em auto}
+             |mark{background:#cde;border-radius:4px;padding:0 3px}
+             |small{color:#357;font-weight:bold}</style></head><body>
+             |<form method="get"><input name="text" size="80" value="${esc(text)}"/>
+             |<button>tag</button></form><p>${sb.result()}</p></body></html>""".stripMargin
+        respondHtml(ex, 200, html)
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      }
+    })
+
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     server.start()
     server
+  }
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def respondHtml(ex: HttpExchange, code: Int, html: String): Unit = {
+    val bytes = html.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+    ex.sendResponseHeaders(code, bytes.length)
+    val os = ex.getResponseBody
+    os.write(bytes)
+    os.close()
   }
 
   /** Request body: {"text": "..."} or {"text": ["...", ...]} (ref `Request`). */

@@ -48,6 +48,17 @@ class ServeSpec extends AnyFunSuite {
       assert(node.get("data").get(0).get("entities").size() === 1)
       assert(node.get("data").get(1).get("entities").size() === 0)
 
+      // /visualize renders highlighted entities as HTML (ref visualize.py analog)
+      val viz = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://localhost:$port/visualize?text=" +
+            java.net.URLEncoder.encode("show me chinese restaurants", "UTF-8"))).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(viz.statusCode() === 200)
+      assert(viz.headers().firstValue("Content-Type").orElse("").startsWith("text/html"))
+      assert(viz.body().contains("<mark") && viz.body().contains("chinese")
+        && viz.body().contains("cuisine"))
+
       // malformed request → 400 with an error body
       val bad = client.send(
         HttpRequest.newBuilder(URI.create(s"http://localhost:$port/parse"))
