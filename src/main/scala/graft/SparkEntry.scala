@@ -256,7 +256,9 @@ object SparkEntry {
     }),
     "q40_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(t(s, dir, "documents"))),
     "q41_media_decode" -> ((s, dir) => Multimodal.decodeMeta(t(s, dir, "documents")).toDF()),
-    "q42_media_image" -> ((s, dir) => Multimodal.imagePipeline(t(s, dir, "documents")).toDF()))
+    "q42_media_image" -> ((s, dir) => Multimodal.imagePipeline(t(s, dir, "documents")).toDF()),
+    "q43_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSamplePipeline(t(s, dir, "documents").filter(col("doc_id") % 5 === 0)).toDF()))
 
   private val opsSql: Map[String, String] = Map(
     // generated from the same profiles as the kernel (integer weights ⇒

@@ -148,6 +148,67 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ------------------------------------------------------------- video-ish
+  /** Deterministic synthetic "video": length-prefixed concatenated PNG
+    * frames ([4-byte big-endian length][png bytes])* — a stand-in container
+    * with REAL per-frame codec work. */
+  def synthVideo(docId: Long, nFrames: Int, w: Int = 16, h: Int = 12): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    var f = 0
+    while (f < nFrames) {
+      val png = synthPng(docId * 1000 + f, w, h)
+      dos.writeInt(png.length)
+      dos.write(png)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Frame sampling: decode every `every`-th frame of a length-prefixed
+    * frame container (frame 0, every, 2·every, …) — the standard
+    * keyframe-ish subsampling step of a video-curation pipeline. Frames that
+    * are skipped are NOT decoded (the container is walked by length prefix),
+    * which is the point of sampling. */
+  def sampleFrames(docId: Long, container: Array[Byte], every: Int): Seq[MediaMeta] = {
+    require(every >= 1)
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(container))
+    val out = scala.collection.mutable.ArrayBuffer.empty[MediaMeta]
+    var idx = 0
+    while (in.available() >= 4) {
+      val len = in.readInt()
+      if (idx % every == 0) {
+        val frame = new Array[Byte](len)
+        in.readFully(frame)
+        out += decodeMedia(docId, frame).copy(n_bytes = len)
+      } else {
+        in.skipBytes(len)
+      }
+      idx += 1
+    }
+    out.toSeq
+  }
+
+  case class FrameRow(doc_id: Long, frame_idx: Int, format: String,
+                      width: Int, height: Int, mean_byte: Double)
+
+  /** Distributed frame-sampling stage: synthesize a per-doc frame container
+    * (standing in for fetched video bytes), sample every `every`-th frame,
+    * decode each sampled frame for metadata/features. */
+  def frameSamplePipeline(docs: DataFrame, nFrames: Int = 8, every: Int = 3): Dataset[FrameRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    docs.select(col("doc_id"))
+      .repartition(p, pmod(xxhash64(col("doc_id")), lit(p)))
+      .as[Long]
+      .mapPartitions(_.flatMap { id =>
+        sampleFrames(id, synthVideo(id, nFrames), every).zipWithIndex.map { case (m, i) =>
+          FrameRow(id, i * every, m.format, m.width, m.height, m.mean_byte)
+        }
+      })
+  }
+
   case class ImageRow(doc_id: Long, format: String, width: Int, height: Int,
                       mean_byte: Double, r_width: Int, r_height: Int, r_mean: Double)
 

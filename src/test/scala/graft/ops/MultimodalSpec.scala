@@ -51,6 +51,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.resizePng("nope".getBytes, 4, 4) === None)
   }
 
+  test("frame sampling decodes only every k-th frame of a container") {
+    val video = Multimodal.synthVideo(9L, nFrames = 8)
+    val sampled = Multimodal.sampleFrames(9L, video, every = 3)
+    assert(sampled.length === 3) // frames 0, 3, 6
+    assert(sampled.forall(m => m.format == "png" && m.width == 16 && m.height == 12))
+    // sampled frame 0 decodes identically to the standalone frame PNG
+    val direct = Multimodal.decodeImage(9L, Multimodal.synthPng(9L * 1000, 16, 12)).get
+    assert(sampled.head.mean_byte === direct.mean_byte)
+    // every=1 decodes all frames
+    assert(Multimodal.sampleFrames(9L, video, every = 1).length === 8)
+    // distributed stage is deterministic
+    import spark.implicits._
+    val docs = (1L to 10L).toDF("doc_id")
+    def run() = Multimodal.frameSamplePipeline(docs, nFrames = 6, every = 2)
+      .collect().sortBy(r => (r.doc_id, r.frame_idx)).toSeq
+    val a = run()
+    assert(a.length === 30) // 10 docs x frames {0,2,4}
+    assert(a.map(_.frame_idx).distinct.sorted === Seq(0, 2, 4))
+    assert(a === run())
+  }
+
   test("imagePipeline decodes and thumbnails distributed, deterministically") {
     import spark.implicits._
     val docs = (1L to 20L).toDF("doc_id")
