@@ -54,17 +54,13 @@ object Similarity {
     * components are deterministic ±1 weights derived from (bit, dim) — a
     * public standard trick (sign of sum of ±-weighted coords ≈ random
     * hyperplane for high dims). `table` offsets the hyperplane seeds so
-    * multiple independent hash tables can be built from the same function. */
-  def lshBucket(vec: Column, nBits: Int = 12, table: Int = 0): Column = {
-    val bits = (0 until nBits).map { b =>
-      val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
-        (v, i) => v.cast("double") *
-          when(pmod(xxhash64(lit(table * nBits + b), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, x) => acc + x)
-      when(s >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+    * multiple independent hash tables can be built from the same function.
+    * Native kernel ([[graft.plans.LshBucketExpression]], bit-identical to
+    * the nBits-separate-HOF-passes formulation it replaces). */
+  def lshBucket(vec: Column, nBits: Int = 12, table: Int = 0): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.LshBucketExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), nBits, table))
 
   /** ANN top-k via multi-table, multi-probe LSH — the two standard recall
     * levers composed:

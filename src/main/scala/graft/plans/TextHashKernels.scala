@@ -129,6 +129,49 @@ case class MinhashSignatureExpression(child: Expression, k: Int, n: Int)
     copy(child = newChild)
 }
 
+/** `lsh_bucket(vec)` → long: `nBits`-bit random-hyperplane sign signature of
+  * a float/double array column. Hyperplane component (b, i) is a ±1 weight
+  * from Spark's XXH64 fold of (table·nBits + b, i) — bit-identical to the
+  * higher-order-function formulation it replaces (`pmod(xxhash64(lit, i), 2)`
+  * sign trick), which evaluated nBits separate zip_with/aggregate passes per
+  * vector. One tight loop over d×nBits products instead. */
+case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(nBits >= 1 && nBits <= 63)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val elemIsFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val d = arr.numElements()
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      // seed fold identical to xxhash64(lit(table*nBits+b), i):
+      // hashInt(seedLit, 42) then hashInt(i, ·)
+      val h1 = XXH64.hashInt(table * nBits + b, TextHash.Seed)
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val even = (XXH64.hashInt(i, h1) & 1L) == 0L
+        s += (if (even) v else -v)
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucketExpression =
+    copy(child = newChild)
+}
+
 /** `simhash_bits(text)` → array<int> of 64 bits: per bit, sign of the sum of
   * ±1 votes from each distinct token's xxhash64, MSB first (the bit order of
   * `lpad(bin(h), 64, '0')` in the column version it replaces). */

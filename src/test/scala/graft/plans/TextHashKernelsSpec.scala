@@ -84,4 +84,29 @@ class TextHashKernelsSpec extends AnyFunSuite {
         graft.ops.Dedup.simhashBits($"text")).collect()(0)
     assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
   }
+
+  test("lsh_bucket == HOF formulation on real embeddings and edge vectors") {
+    def hofBucket(vec: org.apache.spark.sql.Column, nBits: Int, table: Int) = {
+      val bits = (0 until nBits).map { b =>
+        val s = aggregate(zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (v, i) => v.cast("double") *
+            when(pmod(xxhash64(lit(table * nBits + b), i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+          lit(0.0), (acc, x) => acc + x)
+        when(s >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }
+      bits.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(200)
+    for (table <- Seq(0, 3)) {
+      val diff = emb.select(
+          graft.ops.Similarity.lshBucket($"embedding", 10, table).as("k"),
+          hofBucket($"embedding", 10, table).as("h"))
+        .filter($"k" =!= $"h").count()
+      assert(diff === 0L, s"table=$table")
+    }
+    // zero vector: every plane sum is 0 >= 0 -> all bits set
+    val zeros = Seq(Array.fill(8)(0.0f)).toDF("embedding")
+      .select(graft.ops.Similarity.lshBucket($"embedding", 6).as("b")).collect()(0).getLong(0)
+    assert(zeros === 63L)
+  }
 }
