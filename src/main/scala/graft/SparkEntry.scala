@@ -59,7 +59,16 @@ object SparkEntry {
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        // revenue determinism: the per-row double product is cast to
+        // DECIMAL(28,10) — correctly rounded, identically in Spark and
+        // DuckDB, and ~5e-11 from the true product so the cents can't move —
+        // then summed EXACTLY in decimal and rounded once. A raw double sum
+        // would vary in final ulps with partition merge order (run- and
+        // engine-dependent), which the strict hash compare could see at a
+        // .005 boundary; per-row DECIMAL(18,2) rounding (the round-1 bug)
+        // accumulated real cent errors.
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,10)")).cast("double"), 2).as("revenue"),
           count(lit(1)).as("n_lineitems"))
     }),
     "q03_broadcast_join" -> ((s, dir) => {
@@ -144,7 +153,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1, 2""",
     "q02_join_agg" ->
       """SELECT n_name,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+         round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue,
          count(*) AS n_lineitems
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey

@@ -34,10 +34,18 @@ final class CrfDecoder(val model: CrfModel, vectors: Option[VectorSource] = None
   private val scratch = new scala.collection.mutable.ArrayBuffer[FeatAtom](16)
 
   /** Summed weight contribution of `token` appearing at window offset
-    * `slot - half` — cached by (slot, token text/pos/shape). */
+    * `slot - half` — cached by (slot, token text/pos, dense-presence).
+    *
+    * Dense-presence MUST be part of the key: dense atoms are attached
+    * all-or-nothing per SENTENCE (one OOV token strips them from every
+    * token — DenseFeatures.getDenseFeatures), so the same word can occur
+    * with and without dense atoms across sentences. The dense VALUES are a
+    * pure function of the text for a fixed source, so (text, hasDense) is
+    * a sound key. */
   private def contribution(slot: Int, token: CrfToken): Array[Double] = {
     val cache = slotCaches(slot)
-    val key = if (token.pos == null) token.text else token.text + "\u0000" + token.pos
+    val base = if (token.pos == null) token.text else token.text + "\u0000" + token.pos
+    val key = if (token.dense.isEmpty) base else base + "\u0000D"
     var w = cache.get(key)
     if (w == null) {
       scratch.clear()
@@ -96,9 +104,7 @@ final class CrfDecoder(val model: CrfModel, vectors: Option[VectorSource] = None
     processTokens(text, tokens)
   }
 
-  /** Same, for pre-tokenized input (full token list incl. CLS quirk).
-    * Dense atoms (when on) stay cache-safe: a word's vector depends only on
-    * its text, which is part of the contribution cache key. */
+  /** Same, for pre-tokenized input (full token list incl. CLS quirk). */
   def processTokens(text: String, tokens: IndexedSeq[Tok]): IndexedSeq[Span] = {
     val crfToks = dense match {
       case Some((src, pooling)) => DenseFeatures.toCrfTokens(tokens, None, src, pooling)

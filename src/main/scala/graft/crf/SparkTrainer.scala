@@ -17,14 +17,23 @@ import breeze.optimize.{DiffFunction, LBFGS, OWLQN}
   */
 object SparkTrainer {
 
-  def train(examples: Dataset[Example], config: CrfConfig, bilou: Boolean = true): CrfModel = {
+  def train(examples: Dataset[Example], config: CrfConfig, bilou: Boolean = true,
+            vectors: Option[VectorSource] = None): CrfModel = {
     val spark = examples.sparkSession
     import spark.implicits._
+    // the distributed gradient is L-BFGS-shaped (full-batch loss per
+    // iteration); the online algorithms are inherently sequential — reject
+    // loudly instead of silently training something else than requested
+    require(config.algorithm == "lbfgs",
+      s"SparkTrainer supports algorithm=lbfgs only (got '${config.algorithm}'); " +
+        "use Trainer.trainExamples for l2sgd/ap/pa/arow")
+    val dense =
+      if (config.useDenseFeatures) vectors.map((_, config.denseFeaturesClsPooling)) else None
 
     // 1. distributed featurization → (attrs per token, tags)
     val featurized: Dataset[(Array[Array[String]], Array[Array[Double]], Array[String])] =
       examples.map { ex =>
-        val crfToks = Featurizer.goldExampleToCrfTokens(ex, bilou)
+        val crfToks = Featurizer.goldExampleToCrfTokens(ex, bilou, dense)
         val feats = Featurizer.sentenceFeatures(crfToks, config.features)
         (feats.map(_.map(_.attr)).toArray, feats.map(_.map(_.weight)).toArray,
           crfToks.map(_.entity).toArray)
@@ -48,10 +57,17 @@ object SparkTrainer {
     val attrSeq = observedPairs.map(_._1).distinct.sorted.toIndexedSeq
     val aIdx = attrSeq.zipWithIndex.toMap
     val L = labelSeq.length
-    val observed = Array.fill(attrSeq.length)(new Array[Boolean](L))
-    observedPairs.foreach { case (a, t) => observed(aIdx(a))(lIdx(t)) = true }
     var pCount = 0
-    val attrParam = observed.map(_.map { o => if (o) { val i = pCount; pCount += 1; i } else -1 })
+    val attrParam =
+      if (config.allPossibleStates) {
+        // crfsuite all_possible_states=True: full A×L grid (negative state
+        // features), same semantics as the local trainer's index build
+        Array.fill(attrSeq.length)(Array.tabulate(L) { _ => val i = pCount; pCount += 1; i })
+      } else {
+        val observed = Array.fill(attrSeq.length)(new Array[Boolean](L))
+        observedPairs.foreach { case (a, t) => observed(aIdx(a))(lIdx(t)) = true }
+        observed.map(_.map { o => if (o) { val i = pCount; pCount += 1; i } else -1 })
+      }
     val idx = new Trainer.FeatureIndex(labelSeq, attrSeq, attrParam, pCount)
     val n = idx.numParams
 

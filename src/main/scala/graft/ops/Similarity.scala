@@ -117,11 +117,13 @@ object Similarity {
     * buckets (never O(n²)). */
   def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, nBits: Int = 10,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // both sides of the self-join read this — persist so buckets and norms
-    // are computed once per vector, not once per join side
+    // both join sides recompute bucket+norm (one native-kernel pass + one
+    // HOF pass per vector). Deliberately NOT persisted: this is the FULL
+    // corpus with its embedding vectors — caching it would spill the whole
+    // input to executor disk for a 2× saving on a cheap projection (unlike
+    // the candidate-pair persists in Dedup, which are small by construction)
     val withB = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withB.select(col("bucket"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
     val b = withB.select(col("bucket"), col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("bucket"))

@@ -11,18 +11,18 @@ object TextStats {
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "\\s+")))
+    when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "[ \\t\\n\\f\\r]+")))
 
   /** BPE-ish subword token count: runs of letters, runs of digits, single
     * other non-space chars — a cheap proxy for tokenizer-cost estimation.
     * Plain alternation regex (no lookarounds) so the DuckDB oracle's RE2
     * engine computes the identical count. */
   def bpeishCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\f\\r]"), lit(0)))
 
   /** Punctuation ratio over non-space chars. */
   def punctRatio(text: Column): Column = {
-    val nonSpace = length(regexp_replace(text, "\\s", ""))
+    val nonSpace = length(regexp_replace(text, "[ \\t\\n\\f\\r]", ""))
     val punct = length(regexp_replace(text, "[^.,;:!?'\"()\\[\\]-]", ""))
     when(nonSpace === 0, lit(0.0)).otherwise(punct.cast("double") / nonSpace.cast("double"))
   }
@@ -35,7 +35,7 @@ object TextStats {
   /** Fraction of tokens that are English stopwords — the language-id /
     * quality heuristic's core signal. */
   def stopwordRatio(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    val toks = split(lower(trim(text)), "[ \\t\\n\\f\\r]+")
     val sw = filter(toks, t => t.isin(EnStopwords: _*))
     when(size(toks) === 0, lit(0.0))
       .otherwise(size(sw).cast("double") / size(toks).cast("double"))
@@ -52,7 +52,7 @@ object TextStats {
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text)
     val meanWordLen = when(nTok === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "\\s", "")).cast("double") / nTok.cast("double"))
+      .otherwise(length(regexp_replace(text, "[ \\t\\n\\f\\r]", "")).cast("double") / nTok.cast("double"))
     val lenScore = when(nTok.between(10, 5000), lit(0.4)).otherwise(lit(0.0))
     val swScore = when(stopwordRatio(text) >= 0.05, lit(0.3)).otherwise(lit(0.0))
     val punctScore = when(punctRatio(text) <= 0.2, lit(0.2)).otherwise(lit(0.0))
@@ -64,7 +64,7 @@ object TextStats {
     * the exact-dedup key. (md5 rather than xxhash64 so external systems —
     * and the DuckDB oracle — can reproduce it.) */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+    md5(regexp_replace(lower(trim(text)), "[ \\t\\n\\f\\r]+", " "))
 
   /** Full stats projection over a docs table. */
   def stats(docs: DataFrame, textCol: String = "text"): DataFrame = {

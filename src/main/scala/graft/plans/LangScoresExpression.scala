@@ -57,7 +57,7 @@ case class LangScoresExpression(child: Expression, langs: Seq[String],
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString
-    val t = " " + raw.toLowerCase(Locale.ROOT).replaceAll("\\s+", " ") + " "
+    val t = " " + raw.toLowerCase(Locale.ROOT).replaceAll("[ \\t\\n\\f\\r]+", " ") + " "
     val nLangs = langs.length
     val seen = new java.util.HashSet[String](math.max(16, t.length * 2))
     val scores = new Array[Double](nLangs)

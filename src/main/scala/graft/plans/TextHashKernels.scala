@@ -13,8 +13,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Semantics are bit-identical to the column versions they replace
   * (`Dedup.shingles`/`minhashSignature`/`simhashBits` before round 2):
-  * tokenization is Spark's `split(lower(trim(text)), "\\s+")` — UTF8String
-  * trim/lowercase, regex split with limit −1 — and all hashing goes through
+  * tokenization is UTF8String trim/lowercase + split on the RE2-equivalent
+  * whitespace class `[ \\t\\n\\f\\r]+` with limit −1 (explicit class rather
+  * than Java's `\\s`, which also matches U+000B and would diverge from the
+  * DuckDB oracles' RE2) — and all hashing goes through
   * Spark's own XXH64 with the engine's default seed 42, so signatures,
   * buckets and candidate sets are unchanged.
   */
@@ -22,7 +24,7 @@ private[plans] object TextHash {
   final val Seed = 42L
 
   def tokens(input: UTF8String): Array[String] =
-    input.trim().toLowerCase().toString.split("\\s+", -1)
+    input.trim().toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
 
   def hashString(s: String): Long = {
     val u = UTF8String.fromString(s)

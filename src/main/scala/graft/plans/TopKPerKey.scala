@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window => LWindow, Filter => LFilter}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.IntegerType
@@ -75,11 +75,22 @@ object TopK {
 
   private def resolveAgainst(e: Expression, plan: LogicalPlan): Expression = e.transform {
     case u: UnresolvedAttribute =>
-      plan.output.find(a => u.nameParts.last.equalsIgnoreCase(a.name))
-        .getOrElse(throw new IllegalArgumentException(s"column ${u.name} not in ${plan.output}"))
+      plan.output.filter(a => u.nameParts.last.equalsIgnoreCase(a.name)) match {
+        case Seq(one) => one
+        case Seq() =>
+          throw new IllegalArgumentException(s"column ${u.name} not in ${plan.output}")
+        case many => // mirror the ambiguity error the Window API would raise
+          throw new IllegalArgumentException(
+            s"column ${u.name} is ambiguous: matches ${many.mkString(", ")}")
+      }
     case a: AttributeReference =>
       plan.output.find(_.exprId == a.exprId)
-        .orElse(plan.output.find(_.name.equalsIgnoreCase(a.name)))
+        .orElse(plan.output.filter(_.name.equalsIgnoreCase(a.name)) match {
+          case Seq(one) => Some(one)
+          case Seq() => None
+          case many => throw new IllegalArgumentException(
+            s"column ${a.name} is ambiguous: matches ${many.mkString(", ")}")
+        })
         .getOrElse(a)
   }
 }
@@ -175,7 +186,9 @@ case class TopKFinalExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
   override def producedAttributes: AttributeSet = AttributeSet(rnAttr)
   override def outputPartitioning: Partitioning = child.outputPartitioning
   override def requiredChildDistribution: Seq[Distribution] =
-    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    // empty keys = GLOBAL top-k: every partial survivor must land on ONE
+    // reducer (AllTuples) — anything weaker would emit a top-k per partition
+    if (keys.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(keys) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {

@@ -29,7 +29,13 @@ object BucketedTables {
   /** Co-located equi-join of two tables bucketed on the same key with the
     * same bucket count: no exchange on either side. */
   def colocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
-                    leftKey: String, rightKey: String): DataFrame =
-    read(spark, leftTable).join(read(spark, rightTable),
-      read(spark, leftTable)(leftKey) === read(spark, rightTable)(rightKey))
+                    leftKey: String, rightKey: String): DataFrame = {
+    // single read per side: the join condition must reference the SAME
+    // resolved attributes as the join inputs (re-reading relies on the
+    // catalog relation cache keeping exprIds stable, which REFRESH TABLE or
+    // a concurrent write invalidates)
+    val l = read(spark, leftTable)
+    val r = read(spark, rightTable)
+    l.join(r, l(leftKey) === r(rightKey))
+  }
 }

@@ -82,4 +82,48 @@ class DenseFeaturesSpec extends AnyFunSuite {
     assert(cfg.useDenseFeatures)
     assert(cfg.denseFeaturesClsPooling === "max")
   }
+
+  test("decoder cache is not poisoned by per-sentence dense presence (OOV rule)") {
+    val examples = graft.io.MarkdownReader.read(
+      java.nio.file.Files.readString(java.nio.file.Paths.get(
+        "/root/reference/examples/restaurent_search.md")))
+    val cfg = CrfConfig.restaurantConfig.copy(
+      features = IndexedSeq(IndexedSeq("low"),
+        IndexedSeq("low", "bias", "suffix3", "dense_features"), IndexedSeq("low")),
+      useDenseFeatures = true, maxIter = 200)
+    // fixture source covering ONLY the words of sentence A: sentence A gets
+    // dense atoms, any sentence with an extra word gets none (all-or-nothing)
+    val wordsA = "show me chinese restaurants".split(" ")
+    val src = VectorSource.Fixture(
+      wordsA.map(w => w -> Array.tabulate(4)(i => (w.hashCode % 97 + i).toDouble)).toMap, 4)
+    val model = Trainer.trainExamples(examples, cfg, vectors = Some(src))
+    val sentA = "show me chinese restaurants"
+    val sentB = "show me chinese OOVWORD"   // OOV strips dense from ALL tokens
+    // decode B on a decoder pre-warmed by A: must equal a FRESH decoder's B
+    val warmed = new CrfDecoder(model, Some(src))
+    warmed.process(sentA)
+    val viaWarmed = warmed.process(sentB)
+    val viaFresh = new CrfDecoder(model, Some(src)).process(sentB)
+    assert(viaWarmed === viaFresh,
+      "stale dense-atom cache entries leaked into the no-dense sentence")
+    // and the reverse order: warm with the dense-less sentence first
+    val warmed2 = new CrfDecoder(model, Some(src))
+    warmed2.process(sentB)
+    assert(warmed2.process(sentA) === new CrfDecoder(model, Some(src)).process(sentA))
+  }
+
+  test("SparkTrainer: dense features + rejection of online algorithms") {
+    val spark = graft.SparkTestBase.spark
+    import spark.implicits._
+    val examples = graft.kg.PagesGen.trainingExamples(42L, 60)
+    val cfg = graft.kg.KgPipeline.pipelineConfig
+    intercept[IllegalArgumentException] {
+      SparkTrainer.train(spark.createDataset(examples), cfg.copy(algorithm = "ap"))
+    }
+    val src = VectorSource.Hashed(dim = 4)
+    val dcfg = cfg.copy(useDenseFeatures = true,
+      features = cfg.features.updated(1, cfg.features(1) :+ "dense_features"))
+    val model = SparkTrainer.train(spark.createDataset(examples), dcfg, vectors = Some(src))
+    assert(model.stateW.keySet.exists(_.startsWith("0:dense_features:text_dense_features:")))
+  }
 }

@@ -80,4 +80,37 @@ class TopKSpec extends AnyFunSuite {
       .select("v", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(rows === Seq((10L, 1), (20L, 2)))
   }
+
+  test("GLOBAL top-k (empty keys) gathers across partitions, not per partition") {
+    // regression: UnspecifiedDistribution let every partition emit its own
+    // top-k; AllTuples forces the single-reducer gather
+    val df = (1 to 1000).map(_.toLong).toDF("v").repartition(6)
+    val rows = TopK.perKey(df, Seq.empty, Seq(asc("v")), k = 4)
+      .select("v", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(rows === Seq((1L, 1), (2L, 2), (3L, 3), (4L, 4)))
+    // and the transparent rewrite path for a global window
+    val prevOpt = spark.experimental.extraOptimizations
+    val prevStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations = prevOpt :+ RewriteRowNumberTopK
+    spark.experimental.extraStrategies = prevStrat :+ TopKStrategy
+    try {
+      val w = Window.orderBy(asc("v"))
+      val g = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 4)
+      assert(g.queryExecution.executedPlan.toString.contains("TopKFinal"))
+      assert(g.select("v", "rn").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+        === rows)
+    } finally {
+      spark.experimental.extraOptimizations = prevOpt
+      spark.experimental.extraStrategies = prevStrat
+    }
+  }
+
+  test("ambiguous column names are rejected, not silently picked") {
+    val a = Seq((1L, 2.0)).toDF("key", "cos")
+    val b = Seq((1L, 3.0)).toDF("k2", "cos")
+    val joined = a.join(b, a("key") === b("k2"))
+    intercept[IllegalArgumentException] {
+      TopK.perKey(joined, Seq(col("key")), Seq(desc("cos")), 1).collect()
+    }
+  }
 }
