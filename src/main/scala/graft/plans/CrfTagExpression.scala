@@ -5,6 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
 import graft.crf.{CrfDecoder, CrfModel}
 
@@ -27,7 +28,12 @@ import graft.crf.{CrfDecoder, CrfModel}
   *    lazily built once per task/thread, NOT per row.
   */
 case class CrfTagExpression(child: Expression, model: CrfModel)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  // analysis-time type error / implicit cast like every built-in string fn,
+  // instead of an executor-side ClassCastException
+  override def inputTypes = Seq(StringType)
+
 
   override def dataType: DataType = CrfTagExpression.spanArrayType
   override def nullable: Boolean = true
@@ -103,17 +109,15 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 }
 
 object GraftExtensions {
-  @volatile private var cached: CrfModel = _
+  // keyed by path: a JVM-global single-slot cache would pin the FIRST
+  // session's model forever — conf changes or other sessions would silently
+  // tag with the wrong model
+  private val cached = new java.util.concurrent.ConcurrentHashMap[String, CrfModel]()
   private[plans] def modelFromConf(): CrfModel = {
-    if (cached == null) synchronized {
-      if (cached == null) {
-        val path = org.apache.spark.sql.internal.SQLConf.get
-          .getConfString("spark.graft.model.path", "")
-        cached =
-          if (path.nonEmpty) graft.io.ModelIO.load(path)
-          else graft.kg.KgPipeline.trainModel(42L)
-      }
-    }
-    cached
+    val path = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.model.path", "")
+    cached.computeIfAbsent(path, p =>
+      if (p.nonEmpty) graft.io.ModelIO.load(p)
+      else graft.kg.KgPipeline.trainModel(42L))
   }
 }

@@ -34,10 +34,17 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class LangScoresExpression(child: Expression, langs: Seq[String],
                                 profiles: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback
+    with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+
 
   require(langs.length == profiles.length, "one profile per language")
   require(langs.length >= 2 && langs.length <= 64, "2..64 language profiles")
+  // the documented tie-break ("lexicographically last language wins") is
+  // really "last constructor index wins" — enforce sorted langs so the two
+  // coincide and the generated DuckDB oracle's ORDER BY lang DESC matches
+  require(langs == langs.sorted, s"langs must be sorted, got $langs")
 
   override def dataType: DataType = LangScoresExpression.scoresType
   override def nullable: Boolean = true
@@ -59,7 +66,10 @@ case class LangScoresExpression(child: Expression, langs: Seq[String],
     val raw = input.asInstanceOf[UTF8String].toString
     val t = " " + raw.toLowerCase(Locale.ROOT).replaceAll("[ \\t\\n\\f\\r]+", " ") + " "
     val nLangs = langs.length
-    val seen = new java.util.HashSet[String](math.max(16, t.length * 2))
+    // presize for the common short-document case but cap: a multi-MB text
+    // must not allocate a multi-MB bucket table per row (the set grows on
+    // demand; distinct trigrams saturate far below text length anyway)
+    val seen = new java.util.HashSet[String](math.min(math.max(16, t.length * 2), 1 << 16))
     val scores = new Array[Double](nLangs)
     var i = 0
     val last = t.length - 3

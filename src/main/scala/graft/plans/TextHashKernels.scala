@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -59,7 +59,8 @@ private[plans] object TextHash {
 
 /** `word_shingles(text)` → array<string>: distinct word-n-gram shingles. */
 case class WordShinglesExpression(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "word_shingles"
@@ -84,7 +85,8 @@ case class WordShinglesExpression(child: Expression, n: Int)
   * collision producing a spurious candidate pair is ~n²/2⁶⁴ and candidates
   * are exactness-verified downstream anyway. */
 case class WordShingleHashesExpression(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "word_shingle_hashes"
@@ -106,7 +108,8 @@ case class WordShingleHashesExpression(child: Expression, n: Int)
   * distinct shingle set; permutation i = xxhash64(xxhash64(shingle), i)
   * (Spark hash-fold semantics: hashInt(i, hashLong(h, 42))). */
 case class MinhashSignatureExpression(child: Expression, k: Int, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
@@ -140,6 +143,15 @@ case class MinhashSignatureExpression(child: Expression, k: Int, n: Int)
 case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
     extends UnaryExpression with CodegenFallback {
   require(nBits >= 1 && nBits <= 63)
+  // TypeCollection is private[sql]; a manual check gives the same
+  // analysis-time error for wrong-typed arguments
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"lsh_bucket requires array<float> or array<double>, got $other")
+    }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   override def prettyName: String = "lsh_bucket"
@@ -150,6 +162,13 @@ case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val d = arr.numElements()
+    // null element ⇒ every plane sum was null in the HOF formulation, whose
+    // `when(s >= 0, bit).otherwise(0)` rendered every bit 0 — keep that
+    var i0 = 0
+    while (i0 < d) {
+      if (arr.isNullAt(i0)) return 0L
+      i0 += 1
+    }
     var bucket = 0L
     var b = 0
     while (b < nBits) {
@@ -178,7 +197,8 @@ case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
   * ±1 votes from each distinct token's xxhash64, MSB first (the bit order of
   * `lpad(bin(h), 64, '0')` in the column version it replaces). */
 case class SimhashBitsExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_bits"

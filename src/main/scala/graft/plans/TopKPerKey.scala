@@ -55,9 +55,13 @@ object TopK {
              rnName: String = "rn"): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     // self-contained without the session extensions: the planner needs the
-    // strategy to turn the logical node physical
-    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
-      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    // strategy to turn the logical node physical. Synchronized check-then-act
+    // — experimental.extraStrategies is shared session state and a race
+    // would drop a concurrently-registered strategy.
+    TopK.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+        spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
     val plan = df.queryExecution.analyzed
     val keyExprs = keys.map(c => org.apache.spark.sql.GraftColumnBridge.catalystExpression(c))
     val orderExprs = order.map { c =>
@@ -73,9 +77,13 @@ object TopK {
     org.apache.spark.sql.GraftColumnBridge.ofRows(spark, resolved)
   }
 
+  private def sameName(a: String, b: String): Boolean =
+    if (org.apache.spark.sql.internal.SQLConf.get.caseSensitiveAnalysis) a == b
+    else a.equalsIgnoreCase(b)
+
   private def resolveAgainst(e: Expression, plan: LogicalPlan): Expression = e.transform {
     case u: UnresolvedAttribute =>
-      plan.output.filter(a => u.nameParts.last.equalsIgnoreCase(a.name)) match {
+      plan.output.filter(a => sameName(u.nameParts.last, a.name)) match {
         case Seq(one) => one
         case Seq() =>
           throw new IllegalArgumentException(s"column ${u.name} not in ${plan.output}")
@@ -85,7 +93,7 @@ object TopK {
       }
     case a: AttributeReference =>
       plan.output.find(_.exprId == a.exprId)
-        .orElse(plan.output.filter(_.name.equalsIgnoreCase(a.name)) match {
+        .orElse(plan.output.filter(o => sameName(o.name, a.name)) match {
           case Seq(one) => Some(one)
           case Seq() => None
           case many => throw new IllegalArgumentException(
@@ -98,8 +106,13 @@ object TopK {
 /** Optimizer rule: `Filter(rn ≤ k, Window(Seq(rn ← row_number over (P, O))))`
   * → [[TopKPerKeyNode]]. Matches only the exact canonical shape (single
   * row_number window expression, standard frame, a bare `rn ≤ lit` / `rn <
-  * lit` predicate) — anything else keeps the stock window plan. */
+  * lit` predicate) AND small k — anything else keeps the stock window plan:
+  * for large k the bounded-heap operator's keys×k memory beats nobody, and
+  * a degenerate `rn <= Int.MaxValue` guard must not change plans. */
 object RewriteRowNumberTopK extends Rule[LogicalPlan] {
+  /** Largest limit the rewrite fires for; larger ranks keep WindowExec. */
+  val MaxRewriteK = 10000
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ LFilter(cond, w: LWindow) if w.windowExpressions.length == 1 =>
       (w.windowExpressions.head match {
@@ -112,7 +125,7 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
       }).getOrElse(f)
   }
 
-  private def extractLimit(cond: Expression, rn: Attribute): Option[Int] = cond match {
+  private def extractLimit(cond: Expression, rn: Attribute): Option[Int] = (cond match {
     case LessThanOrEqual(r: Attribute, Literal(v: Int, IntegerType)) if r.semanticEquals(rn) && v >= 1 =>
       Some(v)
     case LessThan(r: Attribute, Literal(v: Int, IntegerType)) if r.semanticEquals(rn) && v >= 2 =>
@@ -120,7 +133,7 @@ object RewriteRowNumberTopK extends Rule[LogicalPlan] {
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), r: Attribute) if r.semanticEquals(rn) && v >= 1 =>
       Some(v)
     case _ => None
-  }
+  }).filter(_ <= MaxRewriteK)
 }
 
 /** Planner strategy: partial (pre-exchange) + final (post-exchange) heaps. */
@@ -134,20 +147,37 @@ object TopKStrategy extends SparkStrategy {
 }
 
 private[plans] object TopKHeaps {
-  /** key → bounded heap (worst row at head); rows are defensively copied. */
+  /** Rows buffered per task before the PARTIAL operator flushes its heaps
+    * downstream and starts fresh. Flushing is always CORRECT for the partial
+    * pass (it only prunes; emitting extra rows never loses a survivor) and
+    * bounds memory on high-cardinality keys — where a plain hash-of-heaps
+    * would retain ~every row of the partition on-heap, unlike the spilling
+    * window sort this operator replaces. */
+  val PartialFlushRows: Int = 1 << 18
+
+  /** key → bounded heap (worst row at head); rows are defensively copied.
+    * `maxBuffered` < 0 means unbounded (the FINAL operator, which needs each
+    * key complete); ≥ 0 stops after that many rows are retained so the
+    * caller can drain and restart. */
   def accumulate(it: Iterator[InternalRow], keyProj: UnsafeProjection,
-                 ord: Ordering[InternalRow], k: Int)
+                 ord: Ordering[InternalRow], k: Int, maxBuffered: Long = -1L)
       : java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]] = {
     val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
     val cmp = ord.reverse // max-heap under the sort order: head = worst kept
-    while (it.hasNext) {
+    var buffered = 0L
+    while (it.hasNext && (maxBuffered < 0 || buffered < maxBuffered)) {
       val row = it.next()
-      var q = heaps.get(keyProj(row))
+      val key = keyProj(row)
+      var q = heaps.get(key)
       if (q == null) {
-        q = new java.util.PriorityQueue[InternalRow](k + 1, cmp)
-        heaps.put(keyProj(row).copy(), q)
+        // initial capacity capped: k can be huge (the transparent rewrite
+        // path sees arbitrary user limits) and PriorityQueue allocates its
+        // array eagerly; it grows on demand anyway
+        q = new java.util.PriorityQueue[InternalRow](math.min(k + 1, 16), cmp)
+        heaps.put(key.copy(), q)
+        buffered += 1
       }
-      if (q.size < k) q.add(row.copy())
+      if (q.size < k) { q.add(row.copy()); buffered += 1 }
       else if (ord.compare(row, q.peek()) < 0) {
         q.poll()
         q.add(row.copy())
@@ -155,6 +185,23 @@ private[plans] object TopKHeaps {
     }
     heaps
   }
+
+  /** Streaming map-side pruning with the flush budget applied
+    * (`budget` parameterized for tests). */
+  def prunedIterator(it: Iterator[InternalRow], keyProj: UnsafeProjection,
+                     ord: Ordering[InternalRow], k: Int,
+                     budget: Long = PartialFlushRows): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      import scala.jdk.CollectionConverters._
+      private var out: Iterator[InternalRow] = Iterator.empty
+      private def refill(): Unit =
+        while (!out.hasNext && it.hasNext) {
+          out = accumulate(it, keyProj, ord, k, budget)
+            .values().iterator().asScala.flatMap(_.iterator().asScala)
+        }
+      override def hasNext: Boolean = { refill(); out.hasNext }
+      override def next(): InternalRow = { refill(); out.next() }
+    }
 }
 
 /** Map-side pruning: emits each partition's ≤ k rows per key, unranked. */
@@ -169,9 +216,14 @@ case class TopKPartialExec(keys: Seq[Expression], order: Seq[SortOrder], k: Int,
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(ks, childOutput)
       val ord = GenerateOrdering.generate(os, childOutput)
-      val heaps = TopKHeaps.accumulate(it, keyProj, ord, kk)
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // flush-bounded accumulate: heaps drain downstream and restart
+      // whenever the BUFFERED (copied) row count hits the budget, keeping
+      // memory bounded on high-cardinality keys at the cost of some lost
+      // pruning (the final operator reconciles). NOTE: this must stream off
+      // the raw iterator directly — Spark reuses the InternalRow object, so
+      // anything like it.grouped(n) would buffer n references to ONE
+      // mutating row (a bug ScalaCheck caught in PropertySpec).
+      TopKHeaps.prunedIterator(it, keyProj, ord, kk)
     }
   }
 

@@ -113,4 +113,48 @@ class TopKSpec extends AnyFunSuite {
       TopK.perKey(joined, Seq(col("key")), Seq(desc("cos")), 1).collect()
     }
   }
+
+  test("partial flush budget: bounded memory, no lost survivors") {
+    import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, SortOrder, Ascending, BoundReference}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.LongType
+    val attrs = Seq(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference("key", LongType, nullable = false)(),
+      org.apache.spark.sql.catalyst.expressions.AttributeReference("v", LongType, nullable = false)())
+    val keyProj = UnsafeProjection.create(Seq(attrs.head), attrs)
+    val ord = GenerateOrdering.generate(Seq(SortOrder(attrs(1), Ascending)), attrs)
+    // one REUSED row object, like Spark's iterators hand out
+    val reused = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+    val data = (1 to 500).map(i => ((i % 7).toLong, (1000 - i).toLong))
+    def rows: Iterator[InternalRow] = data.iterator.map { case (k, v) =>
+      reused.update(0, k); reused.update(1, v); reused
+    }
+    // tiny budget forces many flushes; survivors must still include every
+    // key's true top-2 (extra emitted rows are fine — the final prunes)
+    val pruned = TopKHeaps.prunedIterator(rows, keyProj, ord, 2, budget = 16)
+      .map(r => (r.getLong(0), r.getLong(1))).toVector
+    val expected = data.groupBy(_._1).values.flatMap(_.map(_._2).sorted.take(2)).toSet
+    val prunedByKey = pruned.groupBy(_._1).view.mapValues(_.map(_._2).sorted.take(2)).toMap
+    data.groupBy(_._1).foreach { case (k, vs) =>
+      assert(prunedByKey(k) === vs.map(_._2).sorted.take(2).toVector, s"key $k")
+    }
+    assert(expected.subsetOf(pruned.map(_._2).toSet))
+  }
+
+  test("rewrite rule does not fire for huge limits (keeps the window plan)") {
+    val prevOpt = spark.experimental.extraOptimizations
+    val prevStrat = spark.experimental.extraStrategies
+    spark.experimental.extraOptimizations = prevOpt :+ RewriteRowNumberTopK
+    spark.experimental.extraStrategies = prevStrat :+ TopKStrategy
+    try {
+      val w = Window.partitionBy($"o_custkey").orderBy(desc("o_totalprice"))
+      val big = orders.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2147483647) // degenerate guard — must not change plans
+      assert(!big.queryExecution.executedPlan.toString.contains("TopKFinal"))
+    } finally {
+      spark.experimental.extraOptimizations = prevOpt
+      spark.experimental.extraStrategies = prevStrat
+    }
+  }
 }
