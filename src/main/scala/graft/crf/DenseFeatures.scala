@@ -45,6 +45,7 @@ object DenseFeatures {
   /** Reference `_calculate_cls_vector` (`features.py:138-156`): pool over the
     * non-zero rows only; all rows zero → a zero vector. */
   def poolCls(features: IndexedSeq[Array[Double]], pooling: String): Array[Double] = {
+    require(features.nonEmpty, "poolCls needs at least one vector")
     val d = features.head.length
     val nonZero = features.filter(_.exists(_ != 0.0))
     if (nonZero.isEmpty) return new Array[Double](d)

@@ -105,7 +105,6 @@ object OnlineTrainers {
     require(supports(config.algorithm), s"unsupported algorithm: ${config.algorithm}")
     val idx = Trainer.buildIndex(sents, config.minFreq, config.allPossibleStates)
     val enc = Trainer.encode(idx, sents).filter(_.gold.nonEmpty).toArray
-    val n = idx.numParams
     // crfsuite's own defaults for these algorithms are ~100 epochs/iterations
     // (max_iterations); the CrfConfig default 1000 is the lbfgs budget — cap
     // the online passes at 100 unless the user set something smaller.
@@ -131,7 +130,11 @@ object OnlineTrainers {
     var t = 0L
     for (epoch <- 0 until epochs; si <- epochOrder(enc.length, epoch)) {
       val s = enc(si)
-      val eta = 1.0 / (lambda * (t0 + t))
+      // clamp: eta*lambda must stay < 1 or the L2 shrink factor goes
+      // non-positive (weights zeroed/sign-flipped when lambda = 2*c2/N >= 1,
+      // e.g. tiny corpora with large c2); crfsuite solves this with eta0
+      // calibration, a cap is the simple equivalent
+      val eta = math.min(1.0 / (lambda * (t0 + t)), 0.9 / lambda)
       val psi = potentials(idx, w, s)
       val trans = transOf(idx, w)
       val (marg, logZ, alpha, beta) = Inference.forwardBackward(psi, trans)

@@ -123,7 +123,7 @@ object Multimodal {
     val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
     withPayload(docs)
       .select(col("doc_id"), col("payload"))
-      .repartition(p, pmod(xxhash64(col("doc_id")), lit(p)))
+      .repartition(p, col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
   }
@@ -175,16 +175,23 @@ object Multimodal {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(container))
     val out = scala.collection.mutable.ArrayBuffer.empty[MediaMeta]
     var idx = 0
-    while (in.available() >= 4) {
+    var ok = true
+    while (ok && in.available() >= 4) {
       val len = in.readInt()
-      if (idx % every == 0) {
-        val frame = new Array[Byte](len)
-        in.readFully(frame)
-        out += decodeMedia(docId, frame).copy(n_bytes = len)
-      } else {
-        in.skipBytes(len)
+      // corrupt/truncated container (negative or overlong prefix): stop and
+      // return the frames decoded so far instead of killing the task —
+      // fetched bytes are untrusted input
+      if (len < 0 || len > in.available()) ok = false
+      else {
+        if (idx % every == 0) {
+          val frame = new Array[Byte](len)
+          in.readFully(frame)
+          out += decodeMedia(docId, frame).copy(n_bytes = len)
+        } else {
+          in.skipBytes(len)
+        }
+        idx += 1
       }
-      idx += 1
     }
     out.toSeq
   }
@@ -200,7 +207,7 @@ object Multimodal {
     import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
     docs.select(col("doc_id"))
-      .repartition(p, pmod(xxhash64(col("doc_id")), lit(p)))
+      .repartition(p, col("doc_id"))
       .as[Long]
       .mapPartitions(_.flatMap { id =>
         sampleFrames(id, synthVideo(id, nFrames), every).zipWithIndex.map { case (m, i) =>
@@ -221,7 +228,7 @@ object Multimodal {
     import spark.implicits._
     val p = spark.sparkContext.defaultParallelism
     docs.select(col("doc_id"))
-      .repartition(p, pmod(xxhash64(col("doc_id")), lit(p)))
+      .repartition(p, col("doc_id"))
       .as[Long]
       .mapPartitions(_.map { id =>
         val png = synthPng(id)

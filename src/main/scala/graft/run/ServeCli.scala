@@ -30,6 +30,11 @@ object ServeCli {
       .getOrElse(sys.error("usage: ServeCli -m <model.json> [-p 8000]"))
     val port = opts.get("-p").orElse(opts.get("--port")).map(_.toInt).getOrElse(8000)
     val model = graft.io.ModelIO.load(modelPath)
+    // a dense-features model decoded WITHOUT its vector source would silently
+    // drop the dense atoms its weights were trained against — refuse loudly
+    require(!model.config.useDenseFeatures,
+      s"$modelPath was trained with use_dense_features=true; serving it needs " +
+        "the training VectorSource, which this CLI cannot reconstruct")
     val server = start(model, port, new java.io.File(modelPath).getName)
     println(s"[serve] listening on :$port (GET /status, POST /parse)")
     server.getAddress // keep reference
@@ -121,10 +126,13 @@ object ServeCli {
     val t = node.get("text")
     require(t != null, "missing 'text' field")
     if (t.isTextual) Seq(t.asText())
-    else {
+    else if (t.isArray) {
       import scala.jdk.CollectionConverters._
-      t.elements().asScala.map(_.asText()).toSeq
-    }
+      val elems = t.elements().asScala.toSeq
+      require(elems.forall(_.isTextual), "'text' array must contain only strings")
+      elems.map(_.asText())
+    } else throw new IllegalArgumentException(
+      "'text' must be a string or an array of strings")
   }
 
   private def jstr(s: String): String =

@@ -24,6 +24,9 @@ object StreamingOps {
     docs.withColumn("fingerprint", graft.ops.TextStats.fingerprint(col(textCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("fingerprint")
+      // output shape == the input (batch-dedup parity); the dedup key is
+      // internal plumbing, not a schema change for downstream sinks
+      .drop("fingerprint")
 
   case class SessionOut(user_id: String, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long)
@@ -32,13 +35,25 @@ object StreamingOps {
 
   /** Streaming sessionization (the unbounded analogue of batch q10): events
     * grouped per user; a session closes when no event arrives within
-    * `gapSec` of the last one, enforced by an EVENT-TIME timeout so state is
-    * evicted by the watermark clock, not wall time. Emits one row per closed
-    * session (Append semantics via flatMapGroupsWithState). */
+    * `gapSec` of it, enforced by an EVENT-TIME timeout so state is evicted
+    * by the watermark clock, not wall time. Emits one row per closed
+    * session (Append semantics via flatMapGroupsWithState).
+    *
+    * Late data (the reason the watermark exists) is handled by interval
+    * merging: the open session from state and the batch's events are merged
+    * as time intervals, so a late event BEFORE the open session either
+    * extends it backwards (within the gap) or forms its own earlier session
+    * — it is never silently glued to a later session's start. Only all-but-
+    * the-latest merged session close; the latest stays open in state.
+    *
+    * Memory: the state store holds one fixed-size interval per user
+    * (bounded regardless of stream length); the per-BATCH group buffer is
+    * bounded by one user's events within a single micro-batch. */
   def sessionizeStream(events: Dataset[(String, Timestamp)], gapSec: Long = 1800,
                        watermark: String = "1 hour"): Dataset[SessionOut] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val gapMs = gapSec * 1000
     events.toDF("user_id", "ts")
       .withWatermark("ts", watermark)
       .as[(String, Timestamp)]
@@ -51,25 +66,20 @@ object StreamingOps {
             state.remove()
             Iterator.single(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
           } else {
-            val ts = rows.map(_._2.getTime).toArray.sorted
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            ts.foreach { t =>
-              cur match {
-                case Some(s) if t - s.last <= gapSec * 1000 =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1))
-                case Some(s) =>
-                  closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapSec * 1000)
-            }
-            closed.reverseIterator
+            // state session + batch events as intervals, merged in time order
+            val intervals = (state.getOption.toList ++
+                rows.map { case (_, t) => SessionState(t.getTime, t.getTime, 1) })
+              .sortBy(s => (s.start, s.last))
+            val merged = intervals.foldLeft(List.empty[SessionState]) {
+              case (acc @ (cur :: rest), nxt) if nxt.start <= cur.last + gapMs =>
+                SessionState(cur.start, math.max(cur.last, nxt.last), cur.n + nxt.n) :: rest
+              case (acc, nxt) => nxt :: acc
+            }.reverse
+            val open = merged.last
+            state.update(open)
+            state.setTimeoutTimestamp(open.last + gapMs)
+            merged.init.iterator.map(s =>
+              SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
           }
       }
   }

@@ -85,4 +85,16 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(r => math.abs(r.mean_byte - r.r_mean) < 40))
     assert(a.toSeq === run().toSeq)
   }
+
+  test("frame sampling tolerates truncated/corrupt containers") {
+    val video = Multimodal.synthVideo(4L, nFrames = 4)
+    // truncate mid-frame: keep everything except the last 10 bytes
+    val truncated = video.take(video.length - 10)
+    val sampled = Multimodal.sampleFrames(4L, truncated, every = 1)
+    assert(sampled.length === 3, "complete frames decode; the torn last frame is skipped")
+    // garbage prefix (negative length) stops cleanly
+    val garbage = Array[Byte](-1, -1, -1, -1, 1, 2, 3)
+    assert(Multimodal.sampleFrames(4L, garbage, every = 1) === Seq.empty)
+    assert(Multimodal.sampleFrames(4L, Array.emptyByteArray, every = 1) === Seq.empty)
+  }
 }

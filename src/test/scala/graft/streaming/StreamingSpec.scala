@@ -98,4 +98,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("u2", 1L)))
     assert(rows.contains(("u3", 1L)))
   }
+
+  test("sessionization handles LATE events: backward-extend or separate earlier session") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp)]
+    val q = StreamingOps.sessionizeStream(input.toDS(), gapSec = 1800, watermark = "2 hours")
+      .writeStream.outputMode("append").format("memory").queryName("late_sess_test").start()
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    // u1's session opens at 10:00; u2's at 10:05
+    input.addData(("u1", ts(10, 0)), ("u2", ts(10, 5)))
+    q.processAllAvailable()
+    // LATE arrivals (within the 2h watermark):
+    //  - u1 at 09:45: 15 min BEFORE the open session start, within gap ->
+    //    must extend it backwards (NOT be glued with start=10:00)
+    //  - u2 at 08:30: 1h35 before (inside the 2h watermark, beyond the
+    //    30-min gap) -> its own earlier session, closed on merge
+    input.addData(("u1", ts(9, 45)), ("u2", ts(8, 30)))
+    q.processAllAvailable()
+    // push the watermark far ahead so everything closes
+    input.addData(("u3", ts(16, 0)))
+    q.processAllAvailable()
+    input.addData(("u3", ts(20, 0)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, session_start, session_end, n_events FROM late_sess_test")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(rows.contains(("u1", ts(9, 45), ts(10, 0), 2L)),
+      s"u1's late event must extend the session backwards; got $rows")
+    assert(rows.contains(("u2", ts(8, 30), ts(8, 30), 1L)),
+      s"u2's far-earlier event must be its own session; got $rows")
+    assert(rows.contains(("u2", ts(10, 5), ts(10, 5), 1L)))
+  }
 }
