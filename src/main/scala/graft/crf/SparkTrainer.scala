@@ -45,13 +45,15 @@ object SparkTrainer {
     //    distributed (map-side combine) and cut at minFreq BEFORE the collect
     //    — on web-scale corpora this is what keeps the driver-side dictionary
     //    bounded (crfsuite min_freq semantics, ref compat.py:24-28: keep
-    //    features with value-summed frequency strictly greater than minFreq).
+    //    features with frequency strictly greater than minFreq). Frequency is
+    //    the |value| sum, matching Trainer.buildIndex — a signed sum would
+    //    silently cut zero-centered dense slots whose weights cancel.
     val labelSeq = featurized.flatMap(_._3).distinct().collect().sorted.toIndexedSeq
     val lIdx = labelSeq.zipWithIndex.toMap
     val minFreq = config.minFreq
     val observedPairs = featurized.rdd.flatMap { case (attrs, ws, tags) =>
       attrs.iterator.zip(ws.iterator).zip(tags.iterator).flatMap { case ((as, vs), t) =>
-        as.iterator.zip(vs.iterator).map { case (a, v) => ((a, t), v) }
+        as.iterator.zip(vs.iterator).map { case (a, v) => ((a, t), math.abs(v)) }
       }
     }.reduceByKey(_ + _).filter(_._2 > minFreq).keys.collect()
     val attrSeq = observedPairs.map(_._1).distinct.sorted.toIndexedSeq

@@ -44,11 +44,20 @@ object Trainer {
     * layout from the training data. Label order = first appearance.
     *
     * `minFreq` is crfsuite's feature cut-off (ref `compat.py:24-28`): a state
-    * feature (attr,label) gets a parameter only if its value-summed occurrence
-    * frequency exceeds `minFreq` ("no greater than" is dropped). Attributes
-    * left with no surviving label slot are dropped from the dictionary
-    * entirely. The default 0.0 keeps every observed feature (binary features
-    * have weight 1.0 ⇒ freq ≥ 1 > 0), matching crfsuite's default. */
+    * feature (attr,label) gets a parameter only if its occurrence frequency
+    * exceeds `minFreq` ("no greater than" is dropped). Frequency is the sum
+    * of ABSOLUTE feature values (binary features have weight 1.0 ⇒ the
+    * occurrence count, crfsuite's behavior) — a SIGNED sum would silently
+    * freeze dense (zero-centered) feature slots whose weights cancel, even
+    * at the default minFreq=0.0 "no cut-off". Attributes left with no
+    * surviving label slot are dropped from the dictionary entirely.
+    *
+    * `allPossibleStates` (crfsuite all_possible_states=True, ref
+    * compat.py:30-42) generates the full grid over the SURVIVING attributes ×
+    * all labels — negative state features included. The cut is applied to
+    * attributes FIRST, then the grid is generated; the same order as the
+    * distributed trainer ([[SparkTrainer]]), so both produce one feature
+    * space for one config (gated by SparkTrainerSpec's parity test). */
   def buildIndex(sents: Seq[(IndexedSeq[Array[FeatAtom]], IndexedSeq[String])],
                  minFreq: Double = 0.0, allPossibleStates: Boolean = false): FeatureIndex = {
     val labels = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -59,26 +68,18 @@ object Trainer {
     }
     val labelSeq = labels.toIndexedSeq
     val lIdx = labelSeq.zipWithIndex.toMap
-    if (allPossibleStates) {
-      // crfsuite all_possible_states=True (ref compat.py:30-42): the full
-      // A×L grid gets parameters — negative state features included. The
-      // min_freq cut does not apply to generated features (crfsuite
-      // semantics: generation happens after the cut-off of observed ones).
-      var p = 0
-      val attrParam = Array.fill(attrsAll.size)(Array.tabulate(labelSeq.length) { _ =>
-        val k = p; p += 1; k
-      })
-      return new FeatureIndex(labelSeq, attrsAll.keys.toIndexedSeq, attrParam, p)
-    }
     val freq = Array.fill(attrsAll.size)(new Array[Double](labelSeq.length))
     for ((feats, tags) <- sents; t <- feats.indices; a <- feats(t))
-      freq(attrsAll(a.attr))(lIdx(tags(t))) += a.weight
+      freq(attrsAll(a.attr))(lIdx(tags(t))) += math.abs(a.weight)
     val kept = attrsAll.keysIterator.zipWithIndex
       .filter { case (_, i) => freq(i).exists(_ > minFreq) }.toIndexedSeq
     var p = 0
-    val attrParam = kept.map { case (_, i) =>
-      freq(i).map { fr => if (fr > minFreq) { val k = p; p += 1; k } else -1 }
-    }.toArray
+    val attrParam =
+      if (allPossibleStates)
+        kept.map { _ => Array.tabulate(labelSeq.length) { _ => val k = p; p += 1; k } }.toArray
+      else kept.map { case (_, i) =>
+        freq(i).map { fr => if (fr > minFreq) { val k = p; p += 1; k } else -1 }
+      }.toArray
     new FeatureIndex(labelSeq, kept.map(_._1), attrParam, p)
   }
 

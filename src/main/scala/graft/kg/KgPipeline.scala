@@ -124,12 +124,20 @@ object KgPipeline {
     val spark = mentions.sparkSession
     import spark.implicits._
 
-    // distinct surfaces, salted pre-aggregation (hot surfaces on hot domains)
+    // distinct surfaces, salted pre-aggregation (hot surfaces on hot domains).
+    // surfaces is referenced THREE times below (block pairs, allNodes, the
+    // final cc join) — without persist each reference re-inlines the whole
+    // upstream pipeline INCLUDING the CRF decode when mentions isn't a
+    // checkpointed parquet (the q53 driver path paid the decode ~5×; same
+    // unpersisted-multi-reference class as the round-2 MinHash fix). The
+    // persisted set is distinct (entity, surface) rows — gazetteer-sized,
+    // ≪ corpus, safe to cache at any scale.
     val surfaces = mentions
       .withColumn("salt", pmod(xxhash64($"url"), lit(64)))
       .groupBy($"entity", lower($"value").as("surface"), $"salt").agg(count(lit(1)).as("c0"))
       .groupBy($"entity", $"surface").agg(sum($"c0").as("n_mentions"))
       .withColumn("node", concat($"entity", lit(":"), $"surface"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val withBlock = surfaces.withColumn("block", concat($"entity", lit(":"), split($"surface", " ").getItem(0)))
 
@@ -145,11 +153,13 @@ object KgPipeline {
       .filter(jaccard3($"p._1.surface", $"p._2.surface") >= 0.5)
       .select($"p._1.node".as("node_a"), $"p._2.node".as("node_b"))
 
-    // surface → linked entity id edges
+    // surface → linked entity id edges; referenced three times (both allNodes
+    // unions + the edge set) and distinct-collapsed already — small, persist
     val linkEdges = links
       .select(concat($"entity", lit(":"), lower($"value")).as("node_a"),
         concat(lit("ID:"), $"entity_id").as("node_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val allNodes = surfaces.select($"node").union(linkEdges.select($"node_a"))
       .union(linkEdges.select($"node_b")).distinct()
@@ -175,6 +185,23 @@ object KgPipeline {
   }
 
   // ------------------------------------------------------------------ triples
+  /** One relation pattern: subject kind, object kind, the trigger on the
+    * between-text (Left = plain `contains`, Right = regex `rlike`), and the
+    * predicate it yields. SINGLE source for both the map-side `canMatch`
+    * pre-filter and the predicate CASE in [[triples]] — deriving them
+    * separately once let an edit to one silently drop triples in the other.
+    * Order matters: first matching pattern wins. */
+  final case class RelationPattern(k1: String, k2: String,
+                                   trigger: Either[String, String], predicate: String)
+
+  val relationPatterns: Seq[RelationPattern] = Seq(
+    RelationPattern("PER", "ORG", Left("works at"), "works_at"),
+    RelationPattern("ORG", "ORG", Left("acquired"), "acquired"),
+    RelationPattern("PER", "LOC", Left("born in"), "born_in"),
+    RelationPattern("PER", "PER", Left("met"), "met"),
+    RelationPattern("PER", "LOC", Right("\\bin\\b"), "visited"),
+    RelationPattern("ORG", "LOC", Right("\\bin\\b"), "located_in"))
+
   /** Relation extraction + salted dedup. Linked mentions are grouped per
     * sentence (collect_list is safe: ≤ a handful of mentions per sentence),
     * joined back to sentence text, and each ordered pair is matched against
@@ -196,9 +223,12 @@ object KgPipeline {
     // sentence containing none of the trigger phrases can never produce a
     // predicate. The filter runs map-side inside the scan (cheap contains +
     // one regex) and cuts the shuffled sentence bytes — the dominant cost of
-    // this stage — by the corpus' non-relational fraction.
-    val canMatch = $"text".contains("works at") || $"text".contains("acquired") ||
-      $"text".contains("born in") || $"text".contains("met") || $"text".rlike("\\bin\\b")
+    // this stage — by the corpus' non-relational fraction. Derived from the
+    // SAME relationPatterns table as the predicate CASE below.
+    val canMatch = relationPatterns.map(_.trigger).distinct.map {
+      case Left(phrase) => $"text".contains(phrase)
+      case Right(re)    => $"text".rlike(re)
+    }.reduce(_ || _)
     val joined = perSentence.join(sents.filter(canMatch), Seq("url", "sent_id"))
 
     val pairs = joined.select($"url", $"text", explode(pairCombos($"ms")).as("pr"))
@@ -210,12 +240,16 @@ object KgPipeline {
       .filter($"e1" < $"s2")
       .withColumn("between", expr("substring(text, e1 + 1, s2 - e1)"))
 
-    val pred = when($"k1" === "PER" && $"k2" === "ORG" && $"between".contains("works at"), lit("works_at"))
-      .when($"k1" === "ORG" && $"k2" === "ORG" && $"between".contains("acquired"), lit("acquired"))
-      .when($"k1" === "PER" && $"k2" === "LOC" && $"between".contains("born in"), lit("born_in"))
-      .when($"k1" === "PER" && $"k2" === "PER" && $"between".contains("met"), lit("met"))
-      .when($"k1" === "PER" && $"k2" === "LOC" && $"between".rlike("\\bin\\b"), lit("visited"))
-      .when($"k1" === "ORG" && $"k2" === "LOC" && $"between".rlike("\\bin\\b"), lit("located_in"))
+    val pred = relationPatterns.map { p =>
+      val trig = p.trigger match {
+        case Left(phrase) => $"between".contains(phrase)
+        case Right(re)    => $"between".rlike(re)
+      }
+      ($"k1" === p.k1 && $"k2" === p.k2 && trig, lit(p.predicate))
+    }.foldLeft(Option.empty[org.apache.spark.sql.Column]) {
+      case (None, (cond, out))      => Some(when(cond, out))
+      case (Some(acc), (cond, out)) => Some(acc.when(cond, out))
+    }.get
 
     val raw = pairs
       .withColumn("pred", pred)

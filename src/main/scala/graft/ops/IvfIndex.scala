@@ -1,43 +1,149 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 
 /** IVF (inverted-file) approximate nearest neighbor: a k-means coarse
   * quantizer partitions the corpus into `nCentroids` cells; a query probes
   * only its `nProbe` nearest cells — search cost drops from O(corpus) to
-  * O(corpus · nProbe / nCentroids) while the index build is one ML KMeans
-  * fit (itself a Spark job, trainable on a sample at real scale).
+  * O(corpus · nProbe / nCentroids).
   *
-  * This is the scale path next to `Similarity.bruteForceTopK` (exact
-  * baseline) and `Similarity.lshTopK` (hash path). All post-quantizer math is
-  * DataFrame built-ins; the quantizer is spark.ml (deterministic via seed).
+  * Quantizer design (the 100 TB path): the k-means FIT runs on the driver
+  * over a bounded, deterministic sample — hash-mod filter (partitioning-
+  * independent, unlike `Dataset.sample`'s per-partition RNG) capped at
+  * `maxFitRows`, then seeded k-means++ and Lloyd iterations in a fixed order.
+  * Fitting a coarse quantizer on a bounded sample is the standard IVF build
+  * (centroid quality saturates long before corpus size); what must scale is
+  * the ASSIGNMENT, which here is a pure map-side column expression (argmin
+  * over `nCentroids` literal centroids — no shuffle, no ML pipeline, no UDF).
+  * The whole build is bit-deterministic for a given (corpus, seed) at ANY
+  * parallelism — required by the q33 golden-pin oracle.
   */
 object IvfIndex {
 
   case class Index(assigned: DataFrame /* vec_id, embedding, cell */,
                    centroids: DataFrame /* cell, centroid */)
 
-  /** Build the index: fit k-means on the corpus (or a sample), assign every
-    * vector to its nearest centroid cell. */
+  /** Build the index: fit k-means on a deterministic bounded sample, assign
+    * every vector to its nearest centroid cell via a column expression.
+    * `fitFraction` < 1 is the corpus-scale setting: at 100 TB set it so the
+    * hash filter passes ≲ `maxFitRows` rows; `maxFitRows` caps the driver
+    * collect regardless. */
   def build(corpus: DataFrame, nCentroids: Int = 16, seed: Long = 42L,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            fitFraction: Double = 1.0): Index = {
-    val withVec = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val fitOn = if (fitFraction >= 1.0) withVec else withVec.sample(fitFraction, seed)
-    val model = new KMeans().setK(nCentroids).setSeed(seed).setMaxIter(20).fit(fitOn)
-    val assigned = model.transform(withVec)
-      .select(col("vec_id"), col("embedding"), col("prediction").as("cell"))
+            fitFraction: Double = 1.0, maxFitRows: Int = 100000): Index = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+    val base = corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("embedding"))
+    val frac = math.max(0.0, math.min(1.0, fitFraction))
+    val filtered =
+      if (frac >= 1.0) base
+      else base.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) < lit((frac * 1000000L).toLong))
+    val fitRows = filtered
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .orderBy(col("vec_id")).limit(maxFitRows)
+      .as[(Long, Array[Double])].collect().sortBy(_._1).map(_._2)
+    require(fitRows.nonEmpty, "empty fit sample — raise fitFraction")
+    val cents = fitKMeans(fitRows, math.min(nCentroids, fitRows.length), seed)
+
+    val assigned = base.withColumn("cell", nearestCell(col("embedding"), cents))
+    val centroids = cents.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }
       .toSeq.toDF("cell", "centroid")
     Index(assigned, centroids)
+  }
+
+  /** argmin over the literal centroid array as a column expression: per
+    * centroid one zip_with/aggregate squared-distance pass, then array_min
+    * over (dist, cell) structs (ties → lowest cell). Map-side only. */
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
+    val v = vec.cast("array<double>")
+    val scored = cents.zipWithIndex.map { case (c, i) =>
+      val d = aggregate(zip_with(v, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d.as("d"), lit(i).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
+  /** Seeded k-means++ init + Lloyd, fixed iteration order on the driver —
+    * bit-deterministic for a given (sample, seed). */
+  private[ops] def fitKMeans(points: Array[Array[Double]], k: Int, seed: Long,
+                             maxIter: Int = 20): Array[Array[Double]] = {
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val cents = Array.ofDim[Array[Double]](k)
+    cents(0) = points(rnd.nextInt(points.length)).clone()
+    val minD = points.map(p => dist2(p, cents(0)))
+    var c = 1
+    while (c < k) {
+      val total = minD.sum
+      val target = rnd.nextDouble() * total
+      var acc = 0.0
+      var pick = points.length - 1
+      var i = 0
+      var done = false
+      while (i < points.length && !done) {
+        acc += minD(i)
+        if (acc >= target) { pick = i; done = true }
+        i += 1
+      }
+      cents(c) = points(pick).clone()
+      var j = 0
+      while (j < points.length) {
+        val d = dist2(points(j), cents(c))
+        if (d < minD(j)) minD(j) = d
+        j += 1
+      }
+      c += 1
+    }
+    // Lloyd
+    val assign = new Array[Int](points.length)
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < points.length) {
+        var best = 0; var bestD = dist2(points(i), cents(0))
+        var cc = 1
+        while (cc < k) {
+          val d = dist2(points(i), cents(cc))
+          if (d < bestD) { bestD = d; best = cc }
+          cc += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < points.length) {
+        val a = assign(i); counts(a) += 1
+        var d = 0
+        while (d < dim) { sums(a)(d) += points(i)(d); d += 1 }
+        i += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        // empty cluster keeps its previous centroid (deterministic; no resample)
+        if (counts(cc) > 0) {
+          var d = 0
+          while (d < dim) { sums(cc)(d) /= counts(cc); d += 1 }
+          cents(cc) = sums(cc)
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Probe: for each query, rank all centroids by cosine (centroid table is

@@ -148,6 +148,51 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic synthetic WAV (16-bit mono PCM, seeded samples) — real
+    * `javax.sound.sampled` codec work for the audio decode path. */
+  def synthWav(docId: Long, nSamples: Int = 800, sampleRate: Float = 8000f): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var seed = graft.kg.Synth.splitmix64(docId)
+    var i = 0
+    while (i < nSamples) {
+      seed = graft.kg.Synth.splitmix64(seed + 1)
+      val v = (seed & 0xffffL).toInt - 32768
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic per-doc media payload standing in for fetched bytes:
+    * PNG (doc_id % 3 == 0), WAV (== 1), raw text bytes (== 2 — exercises the
+    * documented stub fallback). */
+  def synthPayload(docId: Long, text: String): Array[Byte] = (docId % 3) match {
+    case 0 => synthPng(docId)
+    case 1 => synthWav(docId)
+    case _ => text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Media-decode stage over REAL codec payloads: synthesize the per-doc
+    * payload (PNG / WAV / raw text), batch-decode per partition. Exercises
+    * all three decode paths — `javax.imageio`, the sampled-audio header
+    * parse, and the stub fallback — unlike [[decodeMeta]], whose text
+    * payloads only ever reach the fallback. */
+  def mediaDecodePipeline(docs: DataFrame, partitions: Int = 0): Dataset[MediaMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = if (partitions > 0) partitions else spark.sparkContext.defaultParallelism
+    docs.select(col("doc_id"), col("text"))
+      .repartition(p, col("doc_id"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => decodeMedia(id, synthPayload(id, text)) })
+  }
+
   // ------------------------------------------------------------- video-ish
   /** Deterministic synthetic "video": length-prefixed concatenated PNG
     * frames ([4-byte big-endian length][png bytes])* — a stand-in container

@@ -64,17 +64,25 @@ case class LangScoresExpression(child: Expression, langs: Seq[String],
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString
-    val t = " " + raw.toLowerCase(Locale.ROOT).replaceAll("[ \\t\\n\\f\\r]+", " ") + " "
+    val t = " " + LangScoresExpression.Ws.matcher(raw.toLowerCase(Locale.ROOT)).replaceAll(" ") + " "
     val nLangs = langs.length
     // presize for the common short-document case but cap: a multi-MB text
     // must not allocate a multi-MB bucket table per row (the set grows on
     // demand; distinct trigrams saturate far below text length anyway)
     val seen = new java.util.HashSet[String](math.min(math.max(16, t.length * 2), 1 << 16))
     val scores = new Array[Double](nLangs)
+    // trigrams are CODE-POINT windows, not UTF-16 code units: the DuckDB
+    // oracle slices characters, and a supplementary-plane char (emoji, rare
+    // CJK) must not split surrogate pairs. The all-BMP fast path (the
+    // overwhelming web-text case) keeps the original zero-alloc indexing.
+    val cps: Array[Int] =
+      if (t.length == t.codePointCount(0, t.length)) null
+      else t.codePoints().toArray
+    val nCp = if (cps == null) t.length else cps.length
     var i = 0
-    val last = t.length - 3
+    val last = nCp - 3
     while (i <= last) {
-      val g = t.substring(i, i + 3)
+      val g = if (cps == null) t.substring(i, i + 3) else new String(cps, i, 3)
       if (seen.add(g)) {
         val mask = masks.get(g)
         if (mask != null) {
@@ -112,6 +120,11 @@ case class LangScoresExpression(child: Expression, langs: Seq[String],
 }
 
 object LangScoresExpression {
+  /** RE2-equivalent whitespace class (matches the DuckDB oracle's regex),
+    * precompiled once — String.replaceAll recompiled it per row. */
+  private[plans] val Ws: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("[ \\t\\n\\f\\r]+")
+
   val scoresType: DataType = StructType(Seq(
     StructField("lang", StringType, nullable = false),
     StructField("scores", ArrayType(DoubleType, containsNull = false), nullable = false),

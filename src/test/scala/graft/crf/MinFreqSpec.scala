@@ -79,6 +79,42 @@ class MinFreqSpec extends AnyFunSuite {
     assert(graft.io.ModelIO.load(path).config.minFreq === 2.0)
   }
 
+  test("allPossibleStates + minFreq>0: local and distributed agree (cut attrs first, then grid)") {
+    import spark.implicits._
+    val examples = PagesGen.trainingExamples(42L, 120)
+    val cfg = graft.kg.KgPipeline.pipelineConfig.copy(
+      allPossibleStates = true, minFreq = 1.0, maxIter = 60)
+    val distModel = SparkTrainer.train(spark.createDataset(examples), cfg)
+    val localModel = Trainer.trainExamples(examples, cfg)
+    // identical feature SPACE: same surviving attributes, and (grid semantics)
+    // every surviving attribute carries a slot for every label on both paths
+    assert(distModel.stateW.keySet === localModel.stateW.keySet)
+    // the grid really is attrs × labels: smaller than uncut grid, larger than
+    // the observed-pairs space under the same cut
+    val sents = examples.map { ex =>
+      val toks = Featurizer.goldExampleToCrfTokens(ex, cfg.bilou)
+      (Featurizer.sentenceFeatures(toks, cfg.features), toks.map(_.entity))
+    }.filter(_._2.nonEmpty)
+    val grid = Trainer.buildIndex(sents, minFreq = 1.0, allPossibleStates = true)
+    val observed = Trainer.buildIndex(sents, minFreq = 1.0)
+    assert(grid.numStateParams === grid.attrs.length * grid.labels.length)
+    assert(grid.attrs === observed.attrs)
+    assert(grid.numStateParams > observed.numStateParams)
+  }
+
+  test("minFreq frequency uses |value|: zero-centered dense slots survive minFreq=0") {
+    import graft.crf.{FeatAtom => FA}
+    // attribute "d" appears twice for label "A" with weights −0.4 and +0.1
+    // (signed sum −0.3 ⇒ the round-2 bug cut it at the default minFreq=0.0)
+    val sents = Seq(
+      (IndexedSeq(Array(FA("d", -0.4), FA("b", 1.0))), IndexedSeq("A")),
+      (IndexedSeq(Array(FA("d", 0.1), FA("b", 1.0))), IndexedSeq("A")))
+    val idx = Trainer.buildIndex(sents)
+    val d = idx.attrIdx("d")
+    assert(idx.attrParam(d)(idx.labelIdx("A")) >= 0,
+      "negative-sum dense feature must keep its parameter at minFreq=0")
+  }
+
   test("SparkTrainer honors minFreq and stays quality-equal to local") {
     import spark.implicits._
     val examples = PagesGen.trainingExamples(42L, 200)

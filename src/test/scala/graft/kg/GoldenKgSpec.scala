@@ -11,28 +11,31 @@ import graft.SparkTestBase
 class GoldenKgSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
 
-  private def rowSet(df: org.apache.spark.sql.DataFrame): Set[String] = {
+  // MULTISET compare (row → count), not a Set: the driver's hash compares
+  // sorted row LISTS, so a change that only alters duplicate-row multiplicity
+  // (e.g. a dedup regression emitting a triple twice) must fail here too.
+  private def rowCounts(df: org.apache.spark.sql.DataFrame): Map[String, Int] = {
     val cols = df.columns.sorted
     df.selectExpr(cols.map(c => s"`$c`"): _*).collect()
       .map(_.toSeq.map {
         case null => "NULL"
         case d: Double => d.toString
         case v => v.toString
-      }.mkString("|")).toSet
+      }.mkString("|")).groupBy(identity).map { case (k, v) => k -> v.length }
   }
 
   for (name <- graft.run.GoldenDump.GoldenQueries)
     test(s"$name reproduces its golden pin") {
-      val fresh = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val fresh = graft.SparkEntry.queries(name)(spark, graft.run.GoldenDump.sfDirFor(name))
       val golden = spark.read.parquet(graft.run.GoldenDump.goldenFile(name))
       assert(fresh.schema.map(f => (f.name, f.dataType)).sortBy(_._1) ===
         golden.schema.map(f => (f.name, f.dataType)).sortBy(_._1), "schema drift")
-      val f = rowSet(fresh)
-      val g = rowSet(golden)
-      val onlyFresh = (f -- g).take(3)
-      val onlyGold = (g -- f).take(3)
+      val f = rowCounts(fresh)
+      val g = rowCounts(golden)
+      val onlyFresh = (f.toSet -- g.toSet).take(3)
+      val onlyGold = (g.toSet -- f.toSet).take(3)
       assert(f === g,
-        s"value drift: ${f.size} fresh vs ${g.size} golden rows; " +
+        s"value drift: ${f.values.sum} fresh vs ${g.values.sum} golden rows; " +
           s"fresh-only=$onlyFresh golden-only=$onlyGold")
     }
 }
