@@ -4,7 +4,7 @@ import java.util.Locale
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -25,8 +25,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulation walked a 64+-element char array through three interpreted
   * lambda layers per row (~10× more per-row work, measured in BENCH q26).
   *
-  * CodegenFallback for the same reason as [[CrfTagExpression]]: the kernel is
-  * a JVM loop; the surrounding projection/scan still codegens.
+  * `doGenCode` emits a direct call to the kernel (the expression instance is
+  * a codegen reference object) — round 2 used CodegenFallback, which routed
+  * every row through an interpreted `Expression.eval` hop with boxing.
   *
   * Returns struct<lang: string, scores: array<double>, n_trigrams: int> with
   * `scores` aligned to the constructor's `langs` order; argmax ties break to
@@ -34,7 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class LangScoresExpression(child: Expression, langs: Seq[String],
                                 profiles: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
 
@@ -62,8 +63,16 @@ case class LangScoresExpression(child: Expression, langs: Seq[String],
     m
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val raw = input.asInstanceOf[UTF8String].toString
+  override def nullSafeEval(input: Any): Any = evalText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langScores", this, classOf[LangScoresExpression].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
+  }
+
+  /** The kernel — public so the generated code can call it directly. */
+  def evalText(input: UTF8String): InternalRow = {
+    val raw = input.toString
     val t = " " + LangScoresExpression.Ws.matcher(raw.toLowerCase(Locale.ROOT)).replaceAll(" ") + " "
     val nLangs = langs.length
     // presize for the common short-document case but cap: a multi-MB text

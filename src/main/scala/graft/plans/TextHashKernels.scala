@@ -1,8 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -19,8 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * DuckDB oracles' RE2) — and all hashing goes through
   * Spark's own XXH64 with the engine's default seed 42, so signatures,
   * buckets and candidate sets are unchanged.
+  *
+  * Since round 3 the kernels implement `doGenCode` (a generated call into
+  * the static kernel via `TextHash$.MODULE$`) instead of `CodegenFallback`:
+  * the fallback routed every row through `Expression.eval` on a freshly
+  * projected row — per-row boxing and an interpreted hop inside an otherwise
+  * whole-stage-codegen'd scan. Output is bit-identical (same kernel body);
+  * the parity specs in TextHashKernelsSpec gate that.
   */
-private[plans] object TextHash {
+object TextHash {
   final val Seed = 42L
 
   def tokens(input: UTF8String): Array[String] =
@@ -55,24 +62,111 @@ private[plans] object TextHash {
     }
     out
   }
-}
 
-/** `word_shingles(text)` → array<string>: distinct word-n-gram shingles. */
-case class WordShinglesExpression(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
-  override def inputTypes = Seq(StringType)
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullable: Boolean = true
-  override def prettyName: String = "word_shingles"
+  // ---- static entry points for both the interpreted eval and the generated
+  // code (called as graft.plans.TextHash$.MODULE$.<name> from Janino) ----
 
-  override def nullSafeEval(input: Any): Any = {
-    val sh = TextHash.shingles(input.asInstanceOf[UTF8String], n)
+  def shinglesArray(input: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(input, n)
     val out = new Array[Any](sh.size)
     val it = sh.iterator()
     var i = 0
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  def shingleHashesArray(input: UTF8String, n: Int): ArrayData = {
+    val sh = shingles(input, n)
+    val out = new Array[Long](sh.size)
+    val it = sh.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = hashString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  def minhashSig(input: UTF8String, k: Int, n: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val it = shingles(input, n).iterator()
+    while (it.hasNext) {
+      val h = hashString(it.next())
+      val h1 = XXH64.hashLong(h, Seed)
+      var i = 0
+      while (i < k) {
+        val hi = XXH64.hashInt(i, h1)
+        if (hi < sig(i)) sig(i) = hi
+        i += 1
+      }
+    }
+    new GenericArrayData(sig)
+  }
+
+  def simhashBitsArray(input: UTF8String): ArrayData = {
+    val toks = tokens(input)
+    val seen = new java.util.HashSet[String](toks.length * 2)
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < toks.length) {
+      val tok = toks(t)
+      if (seen.add(tok)) {
+        val h = hashString(tok)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> (63 - j)) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    val bits = new Array[Int](64)
+    var j = 0
+    while (j < 64) { bits(j) = if (counts(j) >= 0) 1 else 0; j += 1 }
+    new GenericArrayData(bits)
+  }
+
+  def lshBucketOf(arr: ArrayData, nBits: Int, table: Int, elemIsFloat: Boolean): Long = {
+    val d = arr.numElements()
+    // null element ⇒ every plane sum was null in the HOF formulation, whose
+    // `when(s >= 0, bit).otherwise(0)` rendered every bit 0 — keep that
+    var i0 = 0
+    while (i0 < d) {
+      if (arr.isNullAt(i0)) return 0L
+      i0 += 1
+    }
+    var bucket = 0L
+    var b = 0
+    while (b < nBits) {
+      // seed fold identical to xxhash64(lit(table*nBits+b), i):
+      // hashInt(seedLit, 42) then hashInt(i, ·)
+      val h1 = XXH64.hashInt(table * nBits + b, Seed)
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        val even = (XXH64.hashInt(i, h1) & 1L) == 0L
+        s += (if (even) v else -v)
+        i += 1
+      }
+      if (s >= 0) bucket |= (1L << b)
+      b += 1
+    }
+    bucket
+  }
+}
+
+/** `word_shingles(text)` → array<string>: distinct word-n-gram shingles. */
+case class WordShinglesExpression(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shinglesArray(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.shinglesArray($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpression =
     copy(child = newChild)
@@ -85,20 +179,18 @@ case class WordShinglesExpression(child: Expression, n: Int)
   * collision producing a spurious candidate pair is ~n²/2⁶⁴ and candidates
   * are exactness-verified downstream anyway. */
 case class WordShingleHashesExpression(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "word_shingle_hashes"
 
-  override def nullSafeEval(input: Any): Any = {
-    val sh = TextHash.shingles(input.asInstanceOf[UTF8String], n)
-    val out = new Array[Long](sh.size)
-    val it = sh.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = TextHash.hashString(it.next()); i += 1 }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHash.shingleHashesArray(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.shingleHashesArray($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingleHashesExpression =
     copy(child = newChild)
@@ -108,27 +200,18 @@ case class WordShingleHashesExpression(child: Expression, n: Int)
   * distinct shingle set; permutation i = xxhash64(xxhash64(shingle), i)
   * (Spark hash-fold semantics: hashInt(i, hashLong(h, 42))). */
 case class MinhashSignatureExpression(child: Expression, k: Int, n: Int)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val sig = Array.fill(k)(Long.MaxValue)
-    val it = TextHash.shingles(input.asInstanceOf[UTF8String], n).iterator()
-    while (it.hasNext) {
-      val h = TextHash.hashString(it.next())
-      val h1 = XXH64.hashLong(h, TextHash.Seed)
-      var i = 0
-      while (i < k) {
-        val hi = XXH64.hashInt(i, h1)
-        if (hi < sig(i)) sig(i) = hi
-        i += 1
-      }
-    }
-    new GenericArrayData(sig)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHash.minhashSig(input.asInstanceOf[UTF8String], k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.minhashSig($c, $k, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpression =
     copy(child = newChild)
@@ -141,7 +224,7 @@ case class MinhashSignatureExpression(child: Expression, k: Int, n: Int)
   * sign trick), which evaluated nBits separate zip_with/aggregate passes per
   * vector. One tight loop over d×nBits products instead. */
 case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(nBits >= 1 && nBits <= 63)
   // TypeCollection is private[sql]; a manual check gives the same
   // analysis-time error for wrong-typed arguments
@@ -159,35 +242,12 @@ case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
   @transient private lazy val elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val d = arr.numElements()
-    // null element ⇒ every plane sum was null in the HOF formulation, whose
-    // `when(s >= 0, bit).otherwise(0)` rendered every bit 0 — keep that
-    var i0 = 0
-    while (i0 < d) {
-      if (arr.isNullAt(i0)) return 0L
-      i0 += 1
-    }
-    var bucket = 0L
-    var b = 0
-    while (b < nBits) {
-      // seed fold identical to xxhash64(lit(table*nBits+b), i):
-      // hashInt(seedLit, 42) then hashInt(i, ·)
-      val h1 = XXH64.hashInt(table * nBits + b, TextHash.Seed)
-      var s = 0.0
-      var i = 0
-      while (i < d) {
-        val v = if (elemIsFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        val even = (XXH64.hashInt(i, h1) & 1L) == 0L
-        s += (if (even) v else -v)
-        i += 1
-      }
-      if (s >= 0) bucket |= (1L << b)
-      b += 1
-    }
-    bucket
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHash.lshBucketOf(input.asInstanceOf[ArrayData], nBits, table, elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.lshBucketOf($c, $nBits, $table, $elemIsFloat);")
 
   override protected def withNewChildInternal(newChild: Expression): LshBucketExpression =
     copy(child = newChild)
@@ -197,34 +257,18 @@ case class LshBucketExpression(child: Expression, nBits: Int, table: Int)
   * ±1 votes from each distinct token's xxhash64, MSB first (the bit order of
   * `lpad(bin(h), 64, '0')` in the column version it replaces). */
 case class SimhashBitsExpression(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "simhash_bits"
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextHash.tokens(input.asInstanceOf[UTF8String])
-    val seen = new java.util.HashSet[String](toks.length * 2)
-    val counts = new Array[Int](64)
-    var t = 0
-    while (t < toks.length) {
-      val tok = toks(t)
-      if (seen.add(tok)) {
-        val h = TextHash.hashString(tok)
-        var j = 0
-        while (j < 64) {
-          if (((h >>> (63 - j)) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
-          j += 1
-        }
-      }
-      t += 1
-    }
-    val bits = new Array[Int](64)
-    var j = 0
-    while (j < 64) { bits(j) = if (counts(j) >= 0) 1 else 0; j += 1 }
-    new GenericArrayData(bits)
-  }
+  override def nullSafeEval(input: Any): Any =
+    TextHash.simhashBitsArray(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.simhashBitsArray($c);")
 
   override protected def withNewChildInternal(newChild: Expression): SimhashBitsExpression =
     copy(child = newChild)

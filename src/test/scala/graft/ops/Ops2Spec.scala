@@ -28,6 +28,31 @@ class Ops2Spec extends AnyFunSuite {
     assert(full === exact)
   }
 
+  test("IVF sampled fit (the corpus-scale setting) keeps recall and is deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" % 50 === 0)
+    val exact = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // fit the quantizer on a hash-sampled half of the corpus — the 100 TB
+    // configuration (never fit on the full corpus); assignment still covers
+    // every vector, so all-cells probing stays exactly brute force
+    val index = IvfIndex.build(emb, nCentroids = 16, fitFraction = 0.5)
+    val ivf = IvfIndex.topK(index, queries, k = 5, nProbe = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(f"IVF sampled-fit recall@5 = $recall%.3f (fitFraction=0.5, probing 3/16 cells)")
+    assert(recall >= 0.4, s"recall $recall")
+    val full = IvfIndex.topK(index, queries, k = 5, nProbe = 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // bit-deterministic build: the hash-mod sample + driver-side seeded fit
+    // must give identical cell assignments on a rebuild (golden-pin contract)
+    val again = IvfIndex.build(emb, nCentroids = 16, fitFraction = 0.5)
+    val a1 = index.assigned.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val a2 = again.assigned.select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(a1 === a2)
+  }
+
   test("LSH top-k recall@5 gated vs brute force (multi-table, multi-probe)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" % 50 === 0)

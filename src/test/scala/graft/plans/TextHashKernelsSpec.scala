@@ -109,4 +109,29 @@ class TextHashKernelsSpec extends AnyFunSuite {
       .select(graft.ops.Similarity.lshBucket($"embedding", 6).as("b")).collect()(0).getLong(0)
     assert(zeros === 63L)
   }
+
+  test("kernels compile under CODEGEN_ONLY (no silent interpreted fallback)") {
+    // the kernels implement doGenCode since round 3; a Janino compile error
+    // would silently fall back to interpreted eval in the default mode and
+    // hide the regression — force codegen so it throws here instead
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val out = df.select(
+          graft.ops.Dedup.shingles($"text", 3).as("sh"),
+          graft.ops.Dedup.shingleHashes($"text", 3).as("shh"),
+          graft.ops.Dedup.minhashSignature($"text", 16).as("mh"),
+          graft.ops.Dedup.simhashBits($"text").as("simh"),
+          graft.ops.LangId.detect($"text").as("lang"))
+        .collect()
+      assert(out.length === samples.length)
+      val emb = Seq(Array.fill(8)(0.5f)).toDF("embedding")
+        .select(graft.ops.Similarity.lshBucket($"embedding", 6).as("b")).collect()
+      assert(emb.length === 1)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
