@@ -63,10 +63,21 @@ object Bench {
     (nPages / wall, nMentions / wall, nMentions)
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nPages = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "20000").toLong
+    // ≥3 interleaved sweeps with per-query MEDIANS: this host duty-cycles CPU
+    // with burst credits (BENCH.md), so a single sweep confounds a query's
+    // cost with WHERE in the credit-drain cycle it ran — round 2's "q01
+    // 2.5 s → 25.4 s regression" was exactly that artifact. Sweep order
+    // alternates so position and query decorrelate across sweeps.
+    val sweeps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_SWEEPS", "3").toInt)
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -80,16 +91,34 @@ object Bench {
     // (BENCH.md), so whatever runs last eats drained burst credits
     val (docsPerSec, triplesPerSec, nTriples) = kgThroughput(spark, nPages)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val times = scala.collection.mutable.Map.empty[String, List[Double]].withDefaultValue(Nil)
+    val sweepTotals = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (s <- 0 until sweeps) {
+      val order = if (s % 2 == 0) names else names.reverse
+      var tot = 0.0
+      for (name <- order) {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+        val dt = (System.nanoTime() - t0) / 1e9
+        times(name) = dt :: times(name)
+        tot += dt
+      }
+      sweepTotals += tot
+      System.err.println(f"[bench] sweep $s: $tot%.1f s")
     }
+    val medians = names.map(n => n -> median(times(n)))
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"kg_pages":$nPages,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_triples":$nTriples}""")
+    val qs = medians.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    val st = sweepTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val json = f"""{"metric":"total_query_sec","value":$total%.3f,"unit":"sec","queries":$qs,"sweeps":$sweeps,"sweep_totals":$st,"sf":"$sfDir","cpus":$cpus,"kg_pages":$nPages,"kg_docs_per_sec":$docsPerSec%.1f,"kg_triples_per_sec":$triplesPerSec%.1f,"kg_triples":$nTriples}"""
+    // stdout (the driver's parse target — LAST line) AND a file: round 2's
+    // BENCH_r02.json came back "parsed": null, so give the driver a clean
+    // machine-readable copy next to the repo as well
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.types._
@@ -20,15 +20,17 @@ import graft.crf.{CrfDecoder, CrfModel}
   * [[GraftFunctions.register]].
   *
   * Execution notes:
-  *  - `CodegenFallback`: the kernel is a JVM model call — nothing to gain
-  *    from whole-stage codegen'ing the wrapper, and the expression sits in a
-  *    projection whose INPUT scan still codegens.
+  *  - `doGenCode` emits a direct call into the decoder via a codegen
+  *    reference object (the decode itself is a JVM model call — the win over
+  *    the previous CodegenFallback is skipping the interpreted
+  *    `Expression.eval` hop and its row projection, same as the text-hash
+  *    kernels).
   *  - The model is carried in the expression tree (task-serialized once per
   *    stage, like a closure); the decoder (with its vocabulary cache) is
   *    lazily built once per task/thread, NOT per row.
   */
 case class CrfTagExpression(child: Expression, model: CrfModel)
-    extends UnaryExpression with CodegenFallback
+    extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.ExpectsInputTypes {
   // analysis-time type error / implicit cast like every built-in string fn,
   // instead of an executor-side ClassCastException
@@ -41,9 +43,16 @@ case class CrfTagExpression(child: Expression, model: CrfModel)
 
   @transient private lazy val decoder = new CrfDecoder(model)
 
-  override def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[UTF8String].toString
-    val spans = decoder.process(text)
+  override def nullSafeEval(input: Any): Any = evalText(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("crfTag", this, classOf[CrfTagExpression].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.evalText($c);")
+  }
+
+  /** The kernel — public so the generated code can call it directly. */
+  def evalText(input: UTF8String): ArrayData = {
+    val spans = decoder.process(input.toString)
     new GenericArrayData(spans.map { s =>
       InternalRow(s.start, s.end, UTF8String.fromString(s.value),
         UTF8String.fromString(s.entity), s.confidence)

@@ -41,4 +41,20 @@ class CrfTagExpressionSpec extends AnyFunSuite {
     val out = spark.sql("SELECT crf_tag(CAST(NULL AS STRING)) IS NULL").collect()
     assert(out.head.getBoolean(0))
   }
+
+  test("crf_tag compiles under CODEGEN_ONLY (no silent interpreted fallback)") {
+    import spark.implicits._
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try {
+      val out = Seq("Alice Johnson works at Hooli in Berlin .").toDF("text")
+        .select(explode(GraftFunctions.crf_tag(col("text"), model)).as("s"))
+        .select(col("s.value")).collect().map(_.getString(0)).sorted
+      assert(out.toSeq === Seq("Alice Johnson", "Berlin", "Hooli"))
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
