@@ -221,6 +221,23 @@ object SparkEntry {
        UNION ALL
        SELECT doc_id + 1000000 AS doc_id, text || ' extratoken' AS text FROM documents"""
 
+  /** The shared CTE chain producing near-dup candidate `pairs` (a, b, na,
+    * nb, inter) over `docsWithDups` — q22 filters/format them, q28 runs
+    * connected components on top. */
+  private def jaccardCtes: String =
+    s"""alldocs AS ($dupsUnionSql),
+            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM alldocs),
+            sh AS (SELECT doc_id,
+                   CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+                   END AS s FROM toks),
+            posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+            capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM posting)
+                       WHERE df <= 2000),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+                      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2, 3, 4)"""
+
   private val opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_textstats" -> ((s, dir) => TextStats.stats(t(s, dir, "documents"))),
     "q21_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsWithDups(s, dir).union(
@@ -229,6 +246,8 @@ object SparkEntry {
         .select(col("doc_id") + 2000000, col("text"))))),
     "q22_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000)),
+    "q28_dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000))),
     "q23_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
     "q24_simhash_pairs" -> ((s, dir) =>
@@ -321,21 +340,28 @@ object SparkEntry {
                     / len(regexp_split_to_array(lower(trim(text)), '\s+')) END) >= 0.08 AS is_en
          FROM documents""",
     "q22_jaccard_pairs" ->
-      s"""WITH alldocs AS ($dupsUnionSql),
-            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM alldocs),
-            sh AS (SELECT doc_id,
-                   CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
-                        ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
-                   END AS s FROM toks),
-            posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
-            capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM posting)
-                       WHERE df <= 2000),
-            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
-                      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-                      GROUP BY 1, 2, 3, 4)
+      s"""WITH $jaccardCtes
          SELECT a AS doc_a, b AS doc_b,
                 round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
          FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""",
+    // dup clusters = connected components over the q22 pairs; DuckDB computes
+    // the per-node reachable-label closure with a recursive CTE and takes the
+    // minimum — an INDEPENDENT formulation of the Spark-side label
+    // propagation / large-star-small-star algorithm (a real cross-engine
+    // value check, unlike a golden pin)
+    "q28_dedup_clusters" ->
+      s"""WITH RECURSIVE $jaccardCtes,
+            jp AS (SELECT a AS doc_a, b AS doc_b FROM pairs
+                   WHERE inter * 1.0 / (na + nb - inter) >= 0.8),
+            e AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                  UNION SELECT doc_b AS src, doc_a AS dst FROM jp),
+            reach(node, lbl) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.src, r.lbl FROM e JOIN reach r ON r.node = e.dst)
+         SELECT node AS doc_id, min(lbl) AS cluster_id,
+                (node = min(lbl)) AS kept
+         FROM reach GROUP BY node""",
     "q30_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
             scored AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -146,6 +146,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  // ----------------------------------------------- cluster canonicalization
+  /** Fuzzy-dedup keep-one: near-dup PAIRS (from any generator above) →
+    * connected components → one kept representative per duplicate cluster
+    * (the minimum doc_id — deterministic at any parallelism). Returns
+    * (doc_id, cluster_id, kept) for every doc that appears in a pair; the
+    * corpus-level drop step is then a left-anti join against the
+    * `kept = false` rows.
+    *
+    * Scale: the CC input is only the docs that appear in a dup pair — a
+    * small fraction of the corpus (pair mining already bounded it) — and
+    * [[graft.kg.ConnectedComponents]] runs label propagation with the
+    * O(log n) large-star/small-star fallback, so chain-shaped dup clusters
+    * (A≈B≈C≈… template families) don't stall it. doc_ids travel as
+    * fixed-width strings so the component minimum is the numeric minimum. */
+  def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    def key(c: Column) = lpad(c.cast("string"), 20, "0")
+    val edges = pairs.select(key(col(aCol)).as("node_a"), key(col(bCol)).as("node_b"))
+    val nodes = edges.select(col("node_a").as("node"))
+      .union(edges.select(col("node_b").as("node"))).distinct()
+    graft.kg.ConnectedComponents.run(nodes, edges).select(
+      col("node").cast("long").as("doc_id"),
+      // canon_id is "C:" + the zero-padded component minimum
+      substring(col("canon_id"), 3, 20).cast("long").as("cluster_id"))
+      .withColumn("kept", col("doc_id") === col("cluster_id"))
+  }
+
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash over word-unigram hashes, as an array<int> of bits (MSB
     * first): per bit, sign of the sum of ±1 votes. Native kernel

@@ -44,6 +44,31 @@ class OpsSpec extends AnyFunSuite {
       .forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("dupClusters: chains collapse to one cluster keyed by the numeric min id") {
+    // pairs forming a chain 3—1003—7 plus an isolated pair (12, 1012): CC
+    // must merge the chain transitively and keep the NUMERIC minimum (1003
+    // vs 7 orders differently as strings — the lpad guard under test)
+    val pairs = Seq((3L, 1003L), (1003L, 7L), (12L, 1012L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got === Set(
+      (3L, 3L, true), (1003L, 3L, false), (7L, 3L, false),
+      (12L, 12L, true), (1012L, 12L, false)))
+  }
+
+  test("dupClusters on the planted corpus: every near/exact dup pair lands in one cluster") {
+    val pairs = Dedup.jaccardPairs(docs, threshold = 0.5, maxDf = 1000)
+    val clusters = Dedup.dupClusters(pairs).collect()
+    val byDoc = clusters.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0 until 10) assert(byDoc(i.toLong) === byDoc(i + 1000L), s"near-dup $i split")
+    for (i <- 0 until 5) assert(byDoc(i.toLong) === byDoc(i + 2000L), s"exact dup $i split")
+    // exactly one kept doc per cluster, and it is the cluster minimum
+    clusters.groupBy(_.getLong(1)).foreach { case (cid, rows) =>
+      assert(rows.count(_.getBoolean(2)) === 1)
+      assert(rows.map(_.getLong(0)).min === cid)
+    }
+  }
+
   test("minhash LSH candidates cover the exact jaccard result at 0.5") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.5, maxDf = 1000)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
