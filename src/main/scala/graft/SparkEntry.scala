@@ -221,6 +221,16 @@ object SparkEntry {
        UNION ALL
        SELECT doc_id + 1000000 AS doc_id, text || ' extratoken' AS text FROM documents"""
 
+  /** documents with deterministic planted PII on every 5th doc — gives the
+    * scrub operator real matches. Same construction in the q34 oracle. */
+  private def docsWithPii(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(col("doc_id"),
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or call 555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .otherwise(col("text")).as("text"))
+
   /** The shared CTE chain producing near-dup candidate `pairs` (a, b, na,
     * nb, inter) over `docsWithDups` — q22 filters/format them, q28 runs
     * connected components on top. */
@@ -248,6 +258,8 @@ object SparkEntry {
       Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000)),
     "q28_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000))),
+    "q29_span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
+    "q34_pii_scrub" -> ((s, dir) => graft.ops.Scrub.scrub(docsWithPii(s, dir))),
     "q23_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
     "q24_simhash_pairs" -> ((s, dir) =>
@@ -362,6 +374,36 @@ object SparkEntry {
          SELECT node AS doc_id, min(lbl) AS cluster_id,
                 (node = min(lbl)) AS kept
          FROM reach GROUP BY node""",
+    // span-level (C4-style) dedup stats: DuckDB dedups by span TEXT where the
+    // Spark plan shuffles the 8-byte xxhash64 of the span — identical results
+    // absent a 64-bit collision, and the oracle would catch one
+    "q29_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t FROM documents),
+            idx AS (SELECT doc_id, t,
+                    unnest(range(0, greatest(1, CAST(ceil(len(t) / 10.0) AS BIGINT)))) AS span_idx FROM toks),
+            sp AS (SELECT doc_id, span_idx,
+                   array_to_string(t[span_idx*10+1 : span_idx*10+10], ' ') AS span_text FROM idx),
+            fk AS (SELECT doc_id, span_idx,
+                   row_number() OVER (PARTITION BY span_text ORDER BY doc_id, span_idx) AS rn FROM sp)
+         SELECT doc_id, count(*) AS n_spans,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+                round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
+         FROM fk GROUP BY doc_id""",
+    "q34_pii_scrub" ->
+      """WITH pii AS (SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0
+                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE text END AS text
+            FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                md5(regexp_replace(regexp_replace(text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '[EMAIL]', 'g'),
+                    '\d{3}-\d{4}', '[PHONE]', 'g')) AS clean_fp
+         FROM pii""",
     "q30_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
             scored AS (SELECT query_id, e.vec_id AS neighbor_id,

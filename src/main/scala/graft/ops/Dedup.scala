@@ -172,6 +172,35 @@ object Dedup {
       .withColumn("kept", col("doc_id") === col("cluster_id"))
   }
 
+  // --------------------------------------------------------- span-level dedup
+  /** C4-style span-level dedup stats: every doc is cut into consecutive
+    * `span`-token chunks; a chunk is a duplicate unless it is the corpus-wide
+    * FIRST occurrence (minimum (doc_id, span_idx), deterministic at any
+    * parallelism). Returns per-doc (doc_id, n_spans, n_dup_spans, dup_ratio)
+    * — the filter a training-data pipeline applies to drop boilerplate-heavy
+    * documents.
+    *
+    * Scale: the global dedup key is the 8-byte xxhash64 of the span, not the
+    * span text, so the corpus-wide exchange carries (hash, doc_id, span_idx)
+    * — ~24 bytes per span regardless of span length. One shuffle for the
+    * first-occurrence window, one map-side-combined aggregate back to docs. */
+  def spanDedup(docs: DataFrame, span: Int = 10, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nSpans = greatest(lit(1), ceil(size(toks).cast("double") / span).cast("int"))
+    val spans = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSpans - 1),
+          i => xxhash64(array_join(slice(toks, i * span + 1, lit(span)), " ")))))
+      .select(col("doc_id"), col("pos").as("span_idx"), col("col").as("span_hash"))
+    val w = Window.partitionBy(col("span_hash")).orderBy(col("doc_id"), col("span_idx"))
+    spans.withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 4))
+  }
+
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash over word-unigram hashes, as an array<int> of bits (MSB
     * first): per bit, sign of the sum of ±1 votes. Native kernel

@@ -88,6 +88,10 @@ object ScalingBench {
       .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
       .config("spark.executor.extraJavaOptions", addOpens)
       .config("spark.sql.shuffle.partitions", (workers * 2).toString)
+      // 8 tasks per core: with one task per core (the default), any
+      // per-task duration variance idles whole cores at the stage tail —
+      // measured utilization at 4 workers was 0.82 with 8 fat tasks
+      .config("spark.default.parallelism", (workers * 2 * 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -112,11 +116,11 @@ object ScalingBench {
       else Bench.kgThroughput(spark, n)
     try {
       // fresh executor JVMs every measurement → warm their JIT before timing.
-      // A quarter of the input: unlike the shared-JVM protocol (one warm JVM
-      // for all rounds), EVERY cluster measurement pays C2 compilation of the
-      // decode hot path from scratch, and an underwarmed high level reads as
-      // CPU inflation that is really interpreter time.
-      job(math.max(5000L, nPages / 4))
+      // Warmup input scales WITH the worker count so every executor JVM sees
+      // the same number of pages before measurement at both levels — a fixed
+      // warmup split over 4 JVMs leaves the high level 4× less compiled, and
+      // the interpreter residue reads as CPU inflation charged to scaling.
+      job(math.max(5000L, nPages / 8) * workers)
       spark.sparkContext.addSparkListener(listener)
       val t0 = System.nanoTime()
       val (d, t, n) = job(nPages)
@@ -126,7 +130,8 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  private def clusterMain(nPages: Long, low: Int, high: Int, rounds: Int, stage: String): Unit = {
+  private def clusterMain(nPages: Long, low: Int, high: Int, rounds: Int, stage: String,
+                          cooldownSec: Int): Unit = {
     // release dists have no launcher/target build dirs, so the in-process
     // Worker's executor-command builder needs the scala version from the env
     // (bin/spark-submit normally injects it via load-spark-env.sh)
@@ -140,6 +145,11 @@ object ScalingBench {
       val order = if (r % 2 == 0) Seq(low, high) else Seq(high, low)
       val walls = scala.collection.mutable.Map.empty[Int, Double]
       for (w <- order) {
+        // idle gap before EVERY measurement (both levels, so it is not a
+        // thumb on the scale): the host's burst credits regenerate during
+        // low demand, so each measurement starts from comparable credit
+        // state instead of inheriting the drain of the previous level
+        if (cooldownSec > 0) Thread.sleep(cooldownSec * 1000L)
         val m = clusterMeasure(w, nPages, stage)
         System.err.println(f"[cluster] round $r workers=$w wall=${m._4}%.1f s docs/s=${m._1}%.1f util=${m._5}%.3f execCpu=${m._6}%.1f s")
         samples(w) = m :: samples(w)
@@ -197,7 +207,8 @@ object ScalingBench {
       // measurement-scale durations, efficiency 0.99).
       clusterMain(nPages,
         opts.getOrElse("--low", "1").toInt, opts.getOrElse("--high", "4").toInt,
-        opts.getOrElse("--rounds", "3").toInt, opts.getOrElse("--stage", "full"))
+        opts.getOrElse("--rounds", "3").toInt, opts.getOrElse("--stage", "full"),
+        opts.getOrElse("--cooldown", "0").toInt)
       return
     }
     opts.get("--measure").foreach { c =>

@@ -69,6 +69,42 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("spanDedup: repeated 10-token spans counted at every occurrence but the first") {
+    val ten = (0 until 10).map(i => s"t$i").mkString(" ")
+    val other = (0 until 10).map(i => s"u$i").mkString(" ")
+    val rows = Seq(
+      (1L, s"$ten $other"),   // both spans first occurrences
+      (2L, s"$ten $ten"),     // two copies of an already-seen span
+      (3L, other)             // one copy of an already-seen span
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) === ((2L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 2L, 1.0)))
+    assert(got(3L) === ((1L, 1L, 1.0)))
+  }
+
+  test("PII scrub: counts and redaction, email digits not double-counted as phones") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe@example.org or call 555-0199 ok"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.io c@d.net and 111-2222 333-4444")
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Scrub.scrub(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 1L); assert(got(1L)._2 === 1L)
+    assert(got(2L)._1 === 0L); assert(got(2L)._2 === 0L)
+    assert(got(3L)._1 === 2L); assert(got(3L)._2 === 2L)
+    // redaction is total: fingerprint of the expected redacted strings
+    val expected = Seq(
+      "mail me at [EMAIL] or call [PHONE] ok",
+      "no pii here at all",
+      "two mails [EMAIL] [EMAIL] and [PHONE] [PHONE]")
+    val exp = expected.map(s => java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(got(1L)._3 === exp(0)); assert(got(2L)._3 === exp(1)); assert(got(3L)._3 === exp(2))
+  }
+
   test("minhash LSH candidates cover the exact jaccard result at 0.5") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.5, maxDf = 1000)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
