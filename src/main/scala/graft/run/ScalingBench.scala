@@ -104,11 +104,17 @@ object ScalingBench {
     spark.sparkContext.setLogLevel("ERROR")
     val runTime = new java.util.concurrent.atomic.AtomicLong(0L)
     val cpuTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcTime = new java.util.concurrent.atomic.AtomicLong(0L)
+    val fetchWait = new java.util.concurrent.atomic.AtomicLong(0L)
+    val serTime = new java.util.concurrent.atomic.AtomicLong(0L)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskMetrics != null) {
           runTime.addAndGet(te.taskMetrics.executorRunTime)
           cpuTime.addAndGet(te.taskMetrics.executorCpuTime)
+          gcTime.addAndGet(te.taskMetrics.jvmGCTime)
+          fetchWait.addAndGet(te.taskMetrics.shuffleReadMetrics.fetchWaitTime)
+          serTime.addAndGet(te.taskMetrics.resultSerializationTime)
         }
     }
     def job(n: Long) =
@@ -126,6 +132,7 @@ object ScalingBench {
       val (d, t, n) = job(nPages)
       val wall = (System.nanoTime() - t0) / 1e9
       val util = (runTime.get() / 1000.0) / (wall * workers * 2)
+      System.err.println(f"[cluster]   breakdown workers=$workers gc=${gcTime.get() / 1000.0}%.1f s fetchWait=${fetchWait.get() / 1000.0}%.1f s resultSer=${serTime.get() / 1000.0}%.1f s")
       (d, t, n, wall, util, cpuTime.get() / 1e9)
     } finally spark.stop()
   }
