@@ -186,11 +186,15 @@ object Dedup {
     * first-occurrence window, one map-side-combined aggregate back to docs. */
   def spanDedup(docs: DataFrame, span: Int = 10, textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = split(lower(trim(col(textCol))), "\\s+")
-    val nSpans = greatest(lit(1), ceil(size(toks).cast("double") / span).cast("int"))
-    val spans = docs.select(col("doc_id"),
+    // materialize the token array BEFORE the generator: referenced as a bare
+    // attribute, the split runs once per doc — inlined, Spark re-evaluates
+    // the full tokenize inside the per-span lambda (once per SPAN)
+    val withToks = docs.select(col("doc_id"),
+      split(lower(trim(col(textCol))), "\\s+").as("toks"))
+    val nSpans = greatest(lit(1), ceil(size(col("toks")).cast("double") / span).cast("int"))
+    val spans = withToks.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nSpans - 1),
-          i => xxhash64(array_join(slice(toks, i * span + 1, lit(span)), " ")))))
+          i => xxhash64(array_join(slice(col("toks"), i * span + 1, lit(span)), " ")))))
       .select(col("doc_id"), col("pos").as("span_idx"), col("col").as("span_hash"))
     val w = Window.partitionBy(col("span_hash")).orderBy(col("doc_id"), col("span_idx"))
     spans.withColumn("rn", row_number().over(w))
