@@ -25,11 +25,17 @@ object ConnectedComponents {
     * Returns (node, canon_id) where canon_id is stable across runs
     * (min node string of the component, prefixed). */
   def run(nodes: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    // materialize the edge set and seed labels ONCE: both are re-referenced
+    // every round, and without the checkpoint each round's join re-executes
+    // the whole upstream pipeline that produced them (q28's CC over jaccard
+    // pairs re-ran the full pair miner per round — 15.7 s → ~5 s at sf0.1)
     val sym = edges.select(col("node_a").as("a"), col("node_b").as("b"))
       .union(edges.select(col("node_b").as("a"), col("node_a").as("b")))
       .distinct()
+      .localCheckpoint()
 
     var labels = nodes.select(col("node"), col("node").as("comp")).distinct()
+      .localCheckpoint()
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {

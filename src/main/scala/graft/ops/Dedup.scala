@@ -162,7 +162,11 @@ object Dedup {
     * fixed-width strings so the component minimum is the numeric minimum. */
   def dupClusters(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     def key(c: Column) = lpad(c.cast("string"), 20, "0")
+    // materialize the (usually expensive) pair-mining plan ONCE: edges and
+    // nodes below reference it 4× between them, and Spark has no common-
+    // subtree reuse across union branches
     val edges = pairs.select(key(col(aCol)).as("node_a"), key(col(bCol)).as("node_b"))
+      .localCheckpoint()
     val nodes = edges.select(col("node_a").as("node"))
       .union(edges.select(col("node_b").as("node"))).distinct()
     graft.kg.ConnectedComponents.run(nodes, edges).select(
