@@ -28,6 +28,23 @@ object StreamingOps {
       // internal plumbing, not a schema change for downstream sinks
       .drop("fingerprint")
 
+  /** Streaming NEAR-dup dedup by SimHash signature: a doc is dropped when a
+    * doc with the identical 64-bit simhash arrived within the horizon. This
+    * is the Hamming-distance-0 slice of batch `Dedup.simhashDupPairs` —
+    * template/boilerplate near-dups (reordered words, tiny edits on long
+    * docs) overwhelmingly collide exactly at 64 bits, while the banded
+    * Hamming ≤ k search needs pairwise verification and stays a batch
+    * concern. The streaming role is cheap high-precision suppression with
+    * state bounded by the horizon, same eviction contract as `dedupStream`.
+    * The state key is the xxhash64 of the bit pattern (8 bytes/doc). */
+  def nearDedupStream(docs: DataFrame, tsCol: String = "event_ts",
+                      textCol: String = "text", horizon: String = "1 hour"): DataFrame =
+    docs.withColumn("simhash_key", xxhash64(concat_ws(",",
+        graft.ops.Dedup.simhashBits(col(textCol)))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("simhash_key")
+      .drop("simhash_key")
+
   case class SessionOut(user_id: String, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long)
   // public: the GroupState encoder's generated code constructs it reflectively

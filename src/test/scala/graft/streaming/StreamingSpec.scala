@@ -70,6 +70,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids === Set(1L, 2L, 4L), "duplicate doc 3 must be dropped")
   }
 
+  test("streaming near-dup dedup drops identical-simhash docs within the horizon") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = input.toDS().toDF("doc_id", "text", "event_ts")
+    val q = StreamingOps.nearDedupStream(docs)
+      .writeStream.outputMode("append").format("memory").queryName("neardedup_test").start()
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val base = (0 until 60).map(i => s"tok$i").mkString(" ")
+    input.addData((1L, base, ts(0)), (2L, "completely different text here", ts(1)))
+    q.processAllAvailable()
+    // simhash over unigram SETS: reordering tokens yields the identical
+    // signature — the template near-dup the batch operator pairs at dist 0
+    val reordered = (0 until 60).reverse.map(i => s"tok$i").mkString(" ")
+    input.addData((3L, reordered, ts(2)), (4L, "yet another novel document", ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.sql("SELECT doc_id FROM neardedup_test").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 4L), "near-dup doc 3 (reordered tokens) must be dropped")
+  }
+
   test("streaming sessionization closes sessions on event-time gaps") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
