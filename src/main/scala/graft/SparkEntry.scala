@@ -231,6 +231,16 @@ object SparkEntry {
           lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
         .otherwise(col("text")).as("text"))
 
+  /** SQL mirror of [[docsWithPii]] (q34/q35 share it). */
+  private def piiDocsSql: String =
+    """SELECT doc_id,
+              CASE WHEN doc_id % 5 = 0
+                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or call 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE text END AS text
+       FROM documents"""
+
   /** The shared CTE chain producing near-dup candidate `pairs` (a, b, na,
     * nb, inter) over `docsWithDups` — q22 filters/format them, q28 runs
     * connected components on top. */
@@ -260,6 +270,14 @@ object SparkEntry {
       Dedup.dupClusters(Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000))),
     "q29_span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
     "q34_pii_scrub" -> ((s, dir) => graft.ops.Scrub.scrub(docsWithPii(s, dir))),
+    "q35_corpus_clean" -> ((s, dir) => {
+      // PII'd docs ∪ an exact copy of every 10th (id-shifted): the clean
+      // step must filter lang+quality, drop the copies, and redact
+      val base = docsWithPii(s, dir)
+      graft.ops.Scrub.corpusClean(base.union(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text"))))
+    }),
     "q23_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
     "q24_simhash_pairs" -> ((s, dir) =>
@@ -390,20 +408,43 @@ object SparkEntry {
                 round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio
          FROM fk GROUP BY doc_id""",
     "q34_pii_scrub" ->
-      """WITH pii AS (SELECT doc_id,
-              CASE WHEN doc_id % 5 = 0
-                   THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
-                        || '@example.com or call 555-'
-                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-                   ELSE text END AS text
-            FROM documents)
+      s"""WITH pii AS ($piiDocsSql)
          SELECT doc_id,
-                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
-                CAST(len(regexp_extract_all(text, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+                CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+')) AS BIGINT) AS n_emails,
+                CAST(len(regexp_extract_all(text, '\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
                 md5(regexp_replace(regexp_replace(text,
-                    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+', '[EMAIL]', 'g'),
-                    '\d{3}-\d{4}', '[PHONE]', 'g')) AS clean_fp
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
+                    '\\d{3}-\\d{4}', '[PHONE]', 'g')) AS clean_fp
          FROM pii""",
+    "q35_corpus_clean" ->
+      s"""WITH pii AS ($piiDocsSql),
+            alldocs AS (SELECT doc_id, text FROM pii
+                        UNION ALL
+                        SELECT doc_id + 2000000 AS doc_id, text FROM pii WHERE doc_id % 10 = 0),
+            f AS (SELECT doc_id, text,
+                  CASE WHEN len(regexp_split_to_array(lower(trim(text)), '\\s+')) = 0 THEN 0.0
+                       ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                            x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+                            / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS swr,
+                  round((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+                  + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                        x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+                        / len(regexp_split_to_array(lower(trim(text)), '\\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
+                  + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
+                        / length(regexp_replace(text, '\\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
+                  + (CASE WHEN (length(regexp_replace(text, '\\s', '', 'g')) * 1.0
+                        / len(regexp_split_to_array(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2) AS quality,
+                  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                  FROM alldocs),
+            keep AS (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                     FROM f WHERE swr >= 0.08 AND quality >= 0.5)
+         SELECT k.doc_id, CAST(k.quality AS DOUBLE) AS quality, k.n_tokens,
+                md5(regexp_replace(regexp_replace(k.text,
+                    '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
+                    '\\d{3}-\\d{4}', '[PHONE]', 'g')) AS clean_fp
+         FROM keep k WHERE k.rn = 1""",
     "q30_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
             scored AS (SELECT query_id, e.vec_id AS neighbor_id,

@@ -33,4 +33,26 @@ object Scrub {
       regexp_count(col(textCol), lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(col(textCol), lit(PhoneRe)).cast("long").as("n_phones"),
       md5(redact(col(textCol)).cast("binary")).as("clean_fp"))
+
+  /** The composed corpus-clean step a training-data pipeline actually runs:
+    * keep docs that (a) pass the language filter, (b) clear the quality
+    * threshold, and (c) are the first (min doc_id) occurrence of their
+    * normalized-text fingerprint — then redact PII from the survivors.
+    * Everything up to the dedup is a codegen'd scan-side filter; the dedup
+    * adds ONE shuffle keyed by the 16-byte fingerprint. Survivor rows carry
+    * the scores so downstream sampling can stratify without recomputing. */
+  def corpusClean(docs: DataFrame, minQuality: Double = 0.5,
+                  textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val filtered = docs
+      .filter(TextStats.isEnglishHeuristic(col(textCol)))
+      .filter(TextStats.qualityScore(col(textCol)) >= minQuality)
+    val w = Window.partitionBy(TextStats.fingerprint(col(textCol)))
+      .orderBy(col("doc_id"))
+    filtered.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"),
+        round(TextStats.qualityScore(col(textCol)), 2).as("quality"),
+        TextStats.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        md5(redact(col(textCol)).cast("binary")).as("clean_fp"))
+  }
 }

@@ -105,6 +105,24 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1L)._3 === exp(0)); assert(got(2L)._3 === exp(1)); assert(got(3L)._3 === exp(2))
   }
 
+  test("corpusClean: lang filter + quality gate + keep-first dedup + redaction compose") {
+    val good = "the cat sat on the mat and it was a good day for all of the cats " +
+      "in this the finest of towns"   // english, decent quality
+    val rows = Seq(
+      (10L, good),
+      (11L, good),                               // exact dup — dropped (10 kept)
+      (12L, "zzz qqq xxx vvv kkk jjj mmm nnn ppp rrr ttt www yyy uuu"), // no stopwords → lang-filtered
+      (13L, good + " mail me at a.b@c.org now please ok")  // survives, redacted
+    ).toDF("doc_id", "text")
+    val got = graft.ops.Scrub.corpusClean(rows).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got.keySet === Set(10L, 13L))
+    val expect13 = java.security.MessageDigest.getInstance("MD5")
+      .digest((good + " mail me at [EMAIL] now please ok").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(13L) === expect13)
+  }
+
   test("minhash LSH candidates cover the exact jaccard result at 0.5") {
     val exact = Dedup.jaccardPairs(docs, threshold = 0.5, maxDf = 1000)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
