@@ -278,6 +278,24 @@ object SparkEntry {
         base.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 2000000).as("doc_id"), col("text"))))
     }),
+    "q36_repetition" -> ((s, dir) => graft.ops.Quality.repetition(t(s, dir, "documents"))),
+    "q37_contamination" -> ((s, dir) => {
+      // benchmark = every 97th doc; corpus additionally carries an exact
+      // copy of each benchmark doc (id-shifted) so detection has real hits
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 97 === 0)
+      val corpus = docs.union(bench.select(col("doc_id") + 3000000, col("text")))
+      graft.ops.Contamination.report(corpus, bench, n = 8)
+    }),
+    "q38_sample_mixture" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(
+        t(s, dir, "documents").select("doc_id", "lang", "text"), "lang",
+        Map("en" -> 0.5, "zh" -> 0.25, "de" -> 0.125), defaultRate = 0.0625)
+        .select("doc_id", "lang", "bucket")),
+    "q39_bm25_search" -> ((s, dir) =>
+      graft.ops.Bm25.search(t(s, dir, "documents"), Bm25Queries, k = 5)),
+    "q44_lm_score" -> ((s, dir) =>
+      graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
     "q23_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
     "q24_simhash_pairs" -> ((s, dir) =>
@@ -320,7 +338,68 @@ object SparkEntry {
     "q43_frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePipeline(t(s, dir, "documents").filter(col("doc_id") % 5 === 0)).toDF()))
 
+  /** Fixed BM25 query set for q39 (terms from the documents vocabulary). */
+  private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
+    1L -> Seq("spark", "table"),
+    2L -> Seq("hash", "merge", "sort"),
+    3L -> Seq("window", "batch"))
+
   private val opsSql: Map[String, String] = Map(
+    "q36_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+              FROM documents),
+            w AS (SELECT doc_id, unnest(t) AS word FROM toks),
+            wc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+            tw AS (SELECT doc_id, max(c) AS mx, sum(c) AS n, count(*) AS nd FROM wc GROUP BY 1),
+            bgi AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+            bgc AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS b, count(*) AS c FROM bgi GROUP BY 1, 2),
+            tb AS (SELECT doc_id, max(c) AS bmx, sum(c) AS bn FROM bgc GROUP BY 1)
+         SELECT d.doc_id,
+            CAST(coalesce(tw.n, 0) AS BIGINT) AS n_words,
+            coalesce(round(tw.mx * 1.0 / tw.n, 4), 0.0) AS top_word_ratio,
+            coalesce(round(tb.bmx * 1.0 / tb.bn, 4), 0.0) AS top_bigram_ratio,
+            coalesce(round(tw.nd * 1.0 / tw.n, 4), 1.0) AS distinct_ratio,
+            (coalesce(round(tw.mx * 1.0 / tw.n, 4), 0.0) <= 0.20
+             AND coalesce(round(tb.bmx * 1.0 / tb.bn, 4), 0.0) <= 0.18
+             AND coalesce(round(tw.nd * 1.0 / tw.n, 4), 1.0) >= 0.30) AS passes
+         FROM documents d
+         LEFT JOIN tw ON d.doc_id = tw.doc_id
+         LEFT JOIN tb ON d.doc_id = tb.doc_id""",
+    "q37_contamination" ->
+      """WITH alldocs AS (SELECT doc_id, text FROM documents
+                          UNION ALL
+                          SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0),
+            toks AS (SELECT doc_id,
+              CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                   ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+              FROM alldocs),
+            gi AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks),
+            grams AS (SELECT DISTINCT doc_id, array_to_string(t[i : i + 7], ' ') AS gram FROM gi),
+            bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0 AND doc_id < 3000000),
+            corpus AS (SELECT doc_id, gram FROM grams
+                       WHERE NOT (doc_id % 97 = 0 AND doc_id < 3000000)),
+            agg AS (SELECT c.doc_id, count(*) AS n_grams,
+                    sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+                    FROM corpus c LEFT JOIN bench b ON c.gram = b.gram GROUP BY 1)
+         SELECT d.doc_id,
+            CAST(coalesce(a.n_shared, 0) AS BIGINT) AS n_shared,
+            CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+            CASE WHEN coalesce(a.n_grams, 0) = 0 THEN 0.0
+                 ELSE round(a.n_shared * 1.0 / a.n_grams, 4) END AS contaminated_ratio,
+            coalesce(a.n_shared, 0) > 0 AS contaminated
+         FROM alldocs d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         WHERE NOT (d.doc_id % 97 = 0 AND d.doc_id < 3000000)""",
+    "q38_sample_mixture" ->
+      """WITH b AS (SELECT doc_id, lang,
+              substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) AS bucket
+              FROM documents)
+         SELECT doc_id, lang, bucket FROM b
+         WHERE bucket < (CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
+                         WHEN 'de' THEN '2000' ELSE '1000' END)""",
+    "q39_bm25_search" -> graft.ops.Bm25.oracleSql(Bm25Queries, k = 5),
+    "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
     // generated from the same profiles as the kernel (integer weights ⇒
     // bit-identical doubles after the single final division)
     "q26_langid_trigram" -> graft.ops.LangId.oracleSql("en"),
@@ -490,6 +569,16 @@ object SparkEntry {
         graft.kg.KgPipeline.aliasDf(s))
       graft.kg.KgPipeline.triples(links, sents)
         .withColumn("conf", round(col("conf"), 4)).drop("n_urls_approx")
+    }),
+    "q54_kg_pagerank" -> ((s, _) => {
+      import s.implicits._
+      val pages = graft.kg.PagesGen.pages(s, KgPages, 42L)
+      val sents = graft.kg.KgPipeline.sentences(pages)
+      val links = graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
+        graft.kg.KgPipeline.aliasDf(s))
+      val triples = graft.kg.KgPipeline.triples(links, sents)
+      graft.kg.PageRank.run(
+        triples.select(col("subj").as("src"), col("obj").as("dst")), iterations = 10)
     }),
     "q53_kg_canonical" -> ((s, _) => {
       import s.implicits._

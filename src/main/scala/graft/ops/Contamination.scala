@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection for training corpora: flag training
+  * documents that share word n-grams with a held-out benchmark/eval set
+  * (the decontamination step every serious pretraining pipeline runs —
+  * n-gram overlap, typically n=8..13, against the eval suites).
+  *
+  * Scale design: the benchmark side is small by definition (eval suites are
+  * KB–MB against a 100 TB corpus), so its distinct n-gram set is built once
+  * and BROADCAST; the corpus side explodes its n-grams map-side and the
+  * overlap is a broadcast semi-join + one aggregation keyed by doc_id —
+  * exactly one shuffle, no corpus×corpus pairing, and the corpus n-grams
+  * are hashed to 8 bytes (xxhash64) before the join so the shuffled rows
+  * carry no strings.
+  */
+object Contamination {
+
+  /** Word n-gram array of `text` (lowercased, whitespace-tokenized); empty
+    * when the doc has fewer than n words. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val ws = when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"))
+    val cnt = size(ws) - (n - 1)
+    when(cnt <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(ws, i, lit(n)))))
+  }
+
+  /** Per-doc contamination report of `docs` against `benchmark`
+    * (both need doc_id + text). Output: one row per corpus doc with the
+    * number of distinct n-grams shared with the benchmark and the fraction
+    * of its n-grams that are contaminated. Benchmark docs themselves are
+    * excluded from the report (anti-join on doc_id). */
+  def report(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+             textCol: String = "text"): DataFrame = {
+    // distinct benchmark n-grams, hashed — the broadcast side
+    val benchGrams = benchmark
+      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("gh")).distinct()
+    val corpus = docs.join(benchmark.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val grams = corpus.select(col("doc_id"),
+        explode_outer(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"),
+        col("gram").isNotNull.as("present"))
+    grams
+      .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("present") && col("hit").isNotNull, 1L).otherwise(0L)).as("n_shared"),
+        sum(when(col("present"), 1L).otherwise(0L)).as("n_grams"))
+      .select(col("doc_id"), col("n_shared"), col("n_grams"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(col("n_shared").cast("double") / col("n_grams").cast("double"), 4))
+          .as("contaminated_ratio"),
+        (col("n_shared") > 0).as("contaminated"))
+  }
+}

@@ -29,7 +29,8 @@ object GoldenDump {
   val GoldenOpsDir = "/root/repo/src/test/resources/golden/ops"
 
   val KgQueries: Seq[String] =
-    Seq("q50_kg_mentions", "q51_kg_links", "q52_kg_triples", "q53_kg_canonical")
+    Seq("q50_kg_mentions", "q51_kg_links", "q52_kg_triples", "q53_kg_canonical",
+      "q54_kg_pagerank")
   val OpsQueries: Seq[String] =
     Seq("q23_minhash_pairs", "q24_simhash_pairs", "q31_ann_lsh", "q32_embed_dups",
       "q33_ann_ivf", "q41_media_decode", "q42_media_image", "q43_frame_sample")

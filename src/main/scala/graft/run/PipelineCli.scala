@@ -95,6 +95,11 @@ object PipelineCli {
     val edges = Checkpoints.stage(spark, outRoot, "edges", log) {
       KgPipeline.edges(triples)
     }
+    Checkpoints.stage(spark, outRoot, "pagerank", log) {
+      // entity salience over the materialized graph — resumes like any
+      // other stage; reads the checkpointed edge parquet, not the lineage
+      PageRank.run(edges.select(col("src"), col("dst")), iterations = 10)
+    }
 
     // mention P/R vs generated gold (BASELINE gate: >= 0.95); external input
     // has no gold — report -1

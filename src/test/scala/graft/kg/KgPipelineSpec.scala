@@ -64,6 +64,17 @@ class KgPipelineSpec extends AnyFunSuite {
     assert(snapshot() === before)
   }
 
+  test("pagerank stage: every graph node ranked, total fixed-point mass bounded") {
+    result
+    val pr = spark.read.parquet(s"$outRoot/pagerank")
+    val edges = spark.read.parquet(s"$outRoot/edges")
+    val nNodes = edges.select(col("src").as("n"))
+      .union(edges.select(col("dst").as("n"))).distinct().count()
+    assert(pr.count() === nNodes)
+    val total = pr.agg(sum("rank_fp")).head().getLong(0)
+    assert(total <= PageRank.Scale && total > 0L)
+  }
+
   test("canonicalization groups surface variants with their linked entity") {
     result
     val canonical = spark.read.parquet(s"$outRoot/canonical")
