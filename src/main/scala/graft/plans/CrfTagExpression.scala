@@ -94,6 +94,48 @@ object GraftFunctions {
   def crf_tag(c: org.apache.spark.sql.Column, model: CrfModel): org.apache.spark.sql.Column =
     org.apache.spark.sql.GraftColumnBridge.column(
       CrfTagExpression(org.apache.spark.sql.GraftColumnBridge.expression(c), model))
+
+  /** The native text kernels as SQL functions — ONE table consumed by both
+    * the session-level [[registerKernels]] and the [[GraftExtensions]]
+    * injection path, so the two surfaces cannot diverge. Int parameters
+    * must be literals (they parameterize the generated code). */
+  private def intArg(e: Expression, fn: String): Int = {
+    require(e.foldable, s"$fn: numeric arguments must be literals")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$fn: expected int literal, got $other")
+    }
+  }
+
+  val kernelFunctions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = {
+    def fn(name: String, clazz: String, arity: Int,
+           build: Seq[Expression] => Expression) =
+      (FunctionIdentifier(name), new ExpressionInfo(clazz, name),
+        (children: Seq[Expression]) => {
+          require(children.length == arity, s"$name takes $arity argument(s)")
+          build(children)
+        })
+    Seq(
+      fn("word_shingles", "graft.plans.WordShinglesExpression", 2,
+        c => WordShinglesExpression(c.head, intArg(c(1), "word_shingles"))),
+      fn("word_shingle_hashes", "graft.plans.WordShingleHashesExpression", 2,
+        c => WordShingleHashesExpression(c.head, intArg(c(1), "word_shingle_hashes"))),
+      fn("minhash_sig", "graft.plans.MinhashSignatureExpression", 3,
+        c => MinhashSignatureExpression(c.head, intArg(c(1), "minhash_sig"),
+          intArg(c(2), "minhash_sig"))),
+      fn("simhash_bits", "graft.plans.SimhashBitsExpression", 1,
+        c => SimhashBitsExpression(c.head)),
+      fn("lang_scores", "graft.plans.LangScoresExpression", 1,
+        c => LangScoresExpression(c.head, graft.ops.LangId.langsSorted,
+          graft.ops.LangId.langsSorted.map(graft.ops.LangId.profiles(_)))))
+  }
+
+  /** Register the kernel SQL functions on an existing session. */
+  def registerKernels(spark: SparkSession): Unit =
+    kernelFunctions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
 /** `SparkSessionExtensions` hook: loads the model from the path in
@@ -110,6 +152,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         require(children.length == 1, "crf_tag(text) takes exactly one argument")
         CrfTagExpression(children.head, GraftExtensions.modelFromConf())
       }))
+    // the native text kernels as plain SQL functions — `spark.sql("SELECT
+    // word_shingles(text, 3) ...")` composes them without the Scala API;
+    // same table as GraftFunctions.registerKernels (shared constant)
+    GraftFunctions.kernelFunctions.foreach(ext.injectFunction)
     // top-k-per-key: rule rewrites Filter(rn<=k, Window(row_number)) into the
     // bounded-heap operator; strategy plans it (partial + exchange + final)
     ext.injectOptimizerRule(_ => RewriteRowNumberTopK)

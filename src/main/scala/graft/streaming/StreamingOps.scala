@@ -45,6 +45,39 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("simhash_key")
       .drop("simhash_key")
 
+  /** Streaming corpus-clean: the scan-side curation gates — language,
+    * quality score, Gopher repetition rules, benchmark contamination, PII
+    * redaction — applied to an unbounded feed. Every gate is STATELESS
+    * per-row column logic reusing the exact batch expressions
+    * (`TextStats` / `Quality` / `Contamination` / `Scrub`), so the filter
+    * needs no state store, no watermark, and gives micro-batch ≡ batch
+    * parity for free; compose `dedupStream` after it for the stateful
+    * dedup gate. The benchmark n-gram set travels as a literal array of
+    * 8-byte hashes (eval suites are KB–MB — broadcast-sized by
+    * definition), checked with `arrays_overlap` inside the scan. */
+  def corpusCleanStream(docs: DataFrame, benchGramHashes: Seq[Long],
+                        n: Int = 8, minQuality: Double = 0.5,
+                        textCol: String = "text"): DataFrame = {
+    val gramHashes = transform(
+      graft.ops.Contamination.wordNgrams(col(textCol), n), g => xxhash64(g))
+    docs
+      .filter(graft.ops.TextStats.isEnglishHeuristic(col(textCol)))
+      .filter(graft.ops.TextStats.qualityScore(col(textCol)) >= minQuality)
+      .filter(graft.ops.Quality.passesRepetitionFilter(col(textCol)))
+      .filter(!arrays_overlap(gramHashes,
+        lit(benchGramHashes.toArray).cast("array<bigint>")))
+      .withColumn("clean_text", graft.ops.Scrub.redact(col(textCol)))
+  }
+
+  /** Driver-side helper: distinct hashed word n-grams of a (small)
+    * benchmark corpus, for [[corpusCleanStream]]. */
+  def benchmarkGramHashes(bench: DataFrame, n: Int = 8,
+                          textCol: String = "text"): Seq[Long] = {
+    import bench.sparkSession.implicits._
+    bench.select(explode(graft.ops.Contamination.wordNgrams(col(textCol), n)).as("g"))
+      .select(xxhash64(col("g"))).distinct().as[Long].collect().toSeq
+  }
+
   case class SessionOut(user_id: String, session_start: Timestamp,
                         session_end: Timestamp, n_events: Long)
   // public: the GroupState encoder's generated code constructs it reflectively

@@ -36,6 +36,36 @@ class CrfTagExpressionSpec extends AnyFunSuite {
     assert(out.toSeq === Seq(("Alice Johnson", "PER"), ("Berlin", "LOC"), ("Hooli", "ORG")))
   }
 
+  test("kernel SQL functions: registered via the shared table, parity with Scala API") {
+    GraftFunctions.registerKernels(spark)
+    import spark.implicits._
+    Seq((1L, "the quick brown fox the quick brown fox")).toDF("doc_id", "text")
+      .createOrReplaceTempView("kdocs")
+    // shingles dedupe repeats: 8 words, window 3 -> 6 positions, 4 distinct
+    val sh = spark.sql("SELECT size(word_shingles(text, 3)) FROM kdocs").head().getInt(0)
+    assert(sh === 4)
+    // hashed form aligns 1:1 with the string form
+    val hs = spark.sql("SELECT size(word_shingle_hashes(text, 3)) FROM kdocs").head().getInt(0)
+    assert(hs === 4)
+    // SQL minhash signature == the Scala-API dedup path's signature
+    val sqlSig = spark.sql("SELECT minhash_sig(text, 16, 3) FROM kdocs").head().getSeq[Long](0)
+    val apiSig = spark.sql("SELECT text FROM kdocs")
+      .select(org.apache.spark.sql.GraftColumnBridge.column(
+        MinhashSignatureExpression(
+          org.apache.spark.sql.GraftColumnBridge.expression(col("text")), 16, 3)))
+      .head().getSeq[Long](0)
+    assert(sqlSig === apiSig)
+    assert(spark.sql("SELECT size(simhash_bits(text)) FROM kdocs").head().getInt(0) === 64)
+    val lang = spark.sql("SELECT lang_scores('the house and the garden are near the street').lang")
+      .head().getString(0)
+    assert(lang === "en")
+    // non-literal int argument is rejected, not silently miscompiled
+    val err = intercept[Exception] {
+      spark.sql("SELECT word_shingles(text, CAST(doc_id AS INT)) FROM kdocs").collect()
+    }
+    assert(err.getMessage.contains("literal"))
+  }
+
   test("null text yields null, not a crash") {
     GraftFunctions.register(spark, model)
     val out = spark.sql("SELECT crf_tag(CAST(NULL AS STRING)) IS NULL").collect()

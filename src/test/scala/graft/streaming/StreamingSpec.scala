@@ -151,4 +151,40 @@ class StreamingSpec extends AnyFunSuite {
       s"u2's far-earlier event must be its own session; got $rows")
     assert(rows.contains(("u2", ts(10, 5), ts(10, 5), 1L)))
   }
+
+  test("streaming corpus-clean: stateless gates drop gibberish/spam/contaminated, redact PII") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val fluent = "we walked to the store and bought some bread with a little cheese for the picnic in the park"
+    val contaminated = "we note that the quick brown fox jumps over the lazy dog in this famous test sentence"
+    val pii = "please contact the team at ops@example.com for all of the details about the new rollout plan"
+    val gibberish = "zx qv wq jk pf lm zz xx cc vv bb nn mm qq ww ee rr tt"
+    val spam = "buy buy buy buy buy buy buy buy buy buy buy buy buy buy"
+    // benchmark shares the "the quick brown fox..." 8-grams with `contaminated`
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val benchHashes = StreamingOps.benchmarkGramHashes(bench)
+    assert(benchHashes.size === 2) // 9 words -> two 8-grams
+
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDS().toDF("doc_id", "text")
+    val q = StreamingOps.corpusCleanStream(docs, benchHashes)
+      .writeStream.outputMode("append").format("memory").queryName("clean_stream_test").start()
+    input.addData((1L, fluent), (2L, gibberish), (3L, spam))
+    input.addData((4L, contaminated), (5L, pii))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT doc_id, clean_text FROM clean_stream_test")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.keySet === Set(1L, 5L),
+      s"only the fluent and PII docs pass the gates; got ${rows.keySet}")
+    assert(rows(1L) === fluent)
+    assert(rows(5L).contains("[EMAIL]") && !rows(5L).contains("ops@example.com"))
+
+    // micro-batch == batch parity: the same stateless gates over a batch DF
+    val batch = StreamingOps.corpusCleanStream(
+      Seq((1L, fluent), (2L, gibberish), (3L, spam), (4L, contaminated), (5L, pii))
+        .toDF("doc_id", "text"), benchHashes)
+      .select("doc_id", "clean_text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(batch === rows)
+  }
 }
