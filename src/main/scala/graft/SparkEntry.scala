@@ -296,6 +296,19 @@ object SparkEntry {
       graft.ops.Bm25.search(t(s, dir, "documents"), Bm25Queries, k = 5)),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
+    "q45_group_quantiles" -> ((s, dir) =>
+      graft.ops.Stats.groupQuantiles(t(s, dir, "documents"), "lang", "n_chars")),
+    "q46_incremental_dedup" -> ((s, dir) => {
+      // steady-state ingest: new batch (docs + planted re-crawls of every
+      // 7th doc) against the fingerprints of the already-ingested corpus
+      // slice (every 3rd doc)
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val batch = docs.union(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 4000000, col("text")))
+      val existing = docs.filter(col("doc_id") % 3 === 0)
+        .select(TextStats.fingerprint(col("text")).as("fingerprint"))
+      Dedup.incrementalDedup(batch, existing)
+    }),
     "q23_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashDupPairs(docsWithDups(s, dir), threshold = 0.8)),
     "q24_simhash_pairs" -> ((s, dir) =>
@@ -400,6 +413,31 @@ object SparkEntry {
                          WHEN 'de' THEN '2000' ELSE '1000' END)""",
     "q39_bm25_search" -> graft.ops.Bm25.oracleSql(Bm25Queries, k = 5),
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
+    "q45_group_quantiles" ->
+      """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
+                       FROM documents GROUP BY 1, 2),
+            cum AS (SELECT lang, v, c,
+                    sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                    sum(c) OVER (PARTITION BY lang) AS n FROM hist)
+         SELECT lang, CAST(sum(c) AS BIGINT) AS n_docs,
+            min(CASE WHEN cum >= floor((n - 1) * 0.5) + 1 THEN v END) AS p50,
+            min(CASE WHEN cum >= floor((n - 1) * 0.9) + 1 THEN v END) AS p90,
+            min(CASE WHEN cum >= floor((n - 1) * 0.99) + 1 THEN v END) AS p99,
+            round(sum(v * c) * 1.0 / sum(c), 4) AS mean
+         FROM cum GROUP BY lang""",
+    "q46_incremental_dedup" ->
+      """WITH batch AS (SELECT doc_id, text FROM documents
+                        UNION ALL
+                        SELECT doc_id + 4000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0),
+            existing AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+                         FROM documents WHERE doc_id % 3 = 0),
+            fp AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+                   FROM batch),
+            novel AS (SELECT * FROM fp
+                      WHERE fingerprint NOT IN (SELECT fingerprint FROM existing)),
+            keep AS (SELECT doc_id, fingerprint,
+                     row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn FROM novel)
+         SELECT doc_id, fingerprint FROM keep WHERE rn = 1""",
     // generated from the same profiles as the kernel (integer weights ⇒
     // bit-identical doubles after the single final division)
     "q26_langid_trigram" -> graft.ops.LangId.oracleSql("en"),

@@ -34,6 +34,25 @@ object Dedup {
     docs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
   }
 
+  /** Incremental-ingest dedup — the steady-state shape of corpus dedup: a
+    * NEW batch arrives against an already-deduped corpus whose fingerprint
+    * set is materialized (`existingFp`, one `fingerprint` column). Keeps
+    * batch docs that are (a) absent from the corpus (left_anti on the
+    * 16-byte fingerprint — a key-only shuffle join; bucket both sides by
+    * fingerprint in the lake and it becomes a co-located zero-exchange
+    * join) and (b) the first occurrence within the batch itself. The
+    * corpus text is never read — only its fingerprint column — which is
+    * what makes daily ingestion O(batch), not O(corpus). */
+  def incrementalDedup(batch: DataFrame, existingFp: DataFrame,
+                       textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withFp = batch.withColumn("fingerprint", TextStats.fingerprint(col(textCol)))
+    val novel = withFp.join(existingFp.select(col("fingerprint")), Seq("fingerprint"), "left_anti")
+    val w = Window.partitionBy(col("fingerprint")).orderBy(col("doc_id"))
+    novel.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("fingerprint"))
+  }
+
   // --------------------------------------------------- token-ngram shingles
   /** Distinct word-n-gram shingles of the lowercased text, as an array col.
     * Backed by the [[graft.plans.WordShinglesExpression]] native kernel

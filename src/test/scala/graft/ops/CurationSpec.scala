@@ -103,6 +103,34 @@ class CurationSpec extends AnyFunSuite {
     assert(all.count() === docs.count())
   }
 
+  // ------------------------------------------------------- Stats / ingest
+
+  test("group quantiles equal driver-side sorted rank selection") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Stats.groupQuantiles(docs, "lang", "n_chars").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val raw = docs.select($"lang", $"n_chars").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sorted }
+    for ((lang, vs) <- raw) {
+      def sel(q: Double) = vs(math.floor((vs.length - 1) * q).toInt)
+      assert(got(lang) === ((vs.length.toLong, sel(0.5), sel(0.9), sel(0.99))), s"lang $lang")
+    }
+  }
+
+  test("incremental dedup: corpus hits dropped, batch-internal dups keep first") {
+    val batch = Seq(
+      (10L, "seen before"),   // already in corpus -> dropped
+      (11L, "brand new one"), // novel
+      (12L, "brand new one"), // batch-internal dup of 11 -> dropped
+      (13L, "another new")    // novel
+    ).toDF("doc_id", "text")
+    val existing = Seq(Tuple1("seen before")).toDF("text")
+      .select(TextStats.fingerprint($"text").as("fingerprint"))
+    val kept = Dedup.incrementalDedup(batch, existing)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(11L, 13L))
+  }
+
   // ------------------------------------------------------------ BM25
 
   test("bm25 matches a driver-side reference implementation") {
