@@ -126,6 +126,8 @@ object GraftFunctions {
           intArg(c(2), "minhash_sig"))),
       fn("simhash_bits", "graft.plans.SimhashBitsExpression", 1,
         c => SimhashBitsExpression(c.head)),
+      fn("repetition_stats", "graft.plans.RepetitionStatsExpression", 1,
+        c => RepetitionStatsExpression(c.head)),
       fn("lang_scores", "graft.plans.LangScoresExpression", 1,
         c => LangScoresExpression(c.head, graft.ops.LangId.langsSorted,
           graft.ops.LangId.langsSorted.map(graft.ops.LangId.profiles(_)))))

@@ -38,6 +38,49 @@ object TextHash {
     XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes(), Seed)
   }
 
+  /** One-pass repetition stats for the Gopher quality rules:
+    * (n_words, multiplicity of the most frequent word, multiplicity of the
+    * most frequent adjacent bigram, distinct word count). Replaces the HOF
+    * formulation in `ops.Quality` (sort_array + `aggregate` run-length over
+    * words AND bigrams = two interpreted sorts + two lambda folds per row)
+    * with two hash-count loops. Empty/whitespace-only text ⇒ all zeros
+    * (the column wrapper applies the 0.0 / 1.0 ratio conventions). */
+  def repetitionStats(input: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val t = input.trim()
+    if (t.numBytes() == 0)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0, 0, 0))
+    val toks = t.toLowerCase().toString.split("[ \\t\\n\\f\\r]+", -1)
+    val wc = new java.util.HashMap[String, Integer]()
+    var topW = 0
+    var i = 0
+    while (i < toks.length) {
+      val prev = wc.get(toks(i))
+      val c = if (prev == null) 1 else prev.intValue() + 1
+      wc.put(toks(i), c)
+      if (c > topW) topW = c
+      i += 1
+    }
+    var topB = 0
+    if (toks.length >= 2) {
+      val bc = new java.util.HashMap[String, Integer]()
+      val sb = new java.lang.StringBuilder()
+      i = 0
+      while (i < toks.length - 1) {
+        sb.setLength(0)
+        sb.append(toks(i)).append(' ').append(toks(i + 1))
+        val key = sb.toString
+        val prev = bc.get(key)
+        val c = if (prev == null) 1 else prev.intValue() + 1
+        bc.put(key, c)
+        if (c > topB) topB = c
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](toks.length, topW, topB, wc.size()))
+  }
+
   /** Distinct word-n-gram shingles; ≤ n−1 tokens ⇒ the whole token string
     * (exactly the `when(k <= 0, ...)` branch of the column version). */
   def shingles(input: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
@@ -272,4 +315,33 @@ case class SimhashBitsExpression(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): SimhashBitsExpression =
     copy(child = newChild)
+}
+
+/** `repetition_stats(text)` → struct<n_words:int, top_word:int,
+  * top_bigram:int, n_distinct:int>: one-pass inputs for the Gopher
+  * repetition quality rules (see [[TextHash.repetitionStats]]). */
+case class RepetitionStatsExpression(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = RepetitionStatsExpression.statsType
+  override def nullable: Boolean = true
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.repetitionStats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.repetitionStats($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStatsExpression =
+    copy(child = newChild)
+}
+
+object RepetitionStatsExpression {
+  val statsType: StructType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("top_word", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
 }
