@@ -29,6 +29,20 @@ object Contamination {
         i => concat_ws(" ", slice(ws, i, lit(n)))))
   }
 
+  /** xxhash64 of each DISTINCT word n-gram, via the native shingle kernel
+    * (one tight loop per row vs the interpreted `transform` lambda of
+    * [[wordNgrams]] — the q36 kernel rationale; the kernel's hash is
+    * exactly Spark's xxhash64 over the gram string, so it joins cleanly
+    * against `xxhash64(gram)` computed anywhere else). The kernel's
+    * short-doc convention (whole text as one shingle when < n words) is
+    * masked to THIS operator's convention: no grams. */
+  def gramHashes(text: Column, n: Int): Column = {
+    val nw = when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "[ \\t\\n\\f\\r]+")))
+    when(nw < n, array().cast("array<bigint>"))
+      .otherwise(Dedup.shingleHashes(text, n))
+  }
+
   /** Per-doc contamination report of `docs` against `benchmark`
     * (both need doc_id + text). Output: one row per corpus doc with the
     * number of distinct n-grams shared with the benchmark and the fraction
@@ -36,15 +50,15 @@ object Contamination {
     * excluded from the report (anti-join on doc_id). */
   def report(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
              textCol: String = "text"): DataFrame = {
-    // distinct benchmark n-grams, hashed — the broadcast side
+    // distinct benchmark n-grams, hashed map-side by the kernel — the
+    // broadcast side
     val benchGrams = benchmark
-      .select(explode(wordNgrams(col(textCol), n)).as("gram"))
-      .select(xxhash64(col("gram")).as("gh")).distinct()
+      .select(explode(gramHashes(col(textCol), n)).as("gh")).distinct()
     val corpus = docs.join(benchmark.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // kernel output is already the DISTINCT gram-hash set per doc
     val grams = corpus.select(col("doc_id"),
-        explode_outer(array_distinct(wordNgrams(col(textCol), n))).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"),
-        col("gram").isNotNull.as("present"))
+        explode_outer(gramHashes(col(textCol), n)).as("gh"))
+      .select(col("doc_id"), col("gh"), col("gh").isNotNull.as("present"))
     grams
       .join(broadcast(benchGrams.withColumn("hit", lit(1))), Seq("gh"), "left_outer")
       .groupBy(col("doc_id"))

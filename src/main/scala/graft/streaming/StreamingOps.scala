@@ -57,25 +57,22 @@ object StreamingOps {
     * definition), checked with `arrays_overlap` inside the scan. */
   def corpusCleanStream(docs: DataFrame, benchGramHashes: Seq[Long],
                         n: Int = 8, minQuality: Double = 0.5,
-                        textCol: String = "text"): DataFrame = {
-    val gramHashes = transform(
-      graft.ops.Contamination.wordNgrams(col(textCol), n), g => xxhash64(g))
+                        textCol: String = "text"): DataFrame =
     docs
       .filter(graft.ops.TextStats.isEnglishHeuristic(col(textCol)))
       .filter(graft.ops.TextStats.qualityScore(col(textCol)) >= minQuality)
       .filter(graft.ops.Quality.passesRepetitionFilter(col(textCol)))
-      .filter(!arrays_overlap(gramHashes,
+      .filter(!arrays_overlap(graft.ops.Contamination.gramHashes(col(textCol), n),
         lit(benchGramHashes.toArray).cast("array<bigint>")))
       .withColumn("clean_text", graft.ops.Scrub.redact(col(textCol)))
-  }
 
   /** Driver-side helper: distinct hashed word n-grams of a (small)
     * benchmark corpus, for [[corpusCleanStream]]. */
   def benchmarkGramHashes(bench: DataFrame, n: Int = 8,
                           textCol: String = "text"): Seq[Long] = {
     import bench.sparkSession.implicits._
-    bench.select(explode(graft.ops.Contamination.wordNgrams(col(textCol), n)).as("g"))
-      .select(xxhash64(col("g"))).distinct().as[Long].collect().toSeq
+    bench.select(explode(graft.ops.Contamination.gramHashes(col(textCol), n)).as("gh"))
+      .distinct().as[Long].collect().toSeq
   }
 
   case class SessionOut(user_id: String, session_start: Timestamp,
