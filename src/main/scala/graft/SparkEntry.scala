@@ -608,6 +608,22 @@ object SparkEntry {
       graft.kg.KgPipeline.triples(links, sents)
         .withColumn("conf", round(col("conf"), 4)).drop("n_urls_approx")
     }),
+    "q55_kg_degrees" -> ((s, _) => {
+      // graph degree profile over the live triple pipeline; the oracle
+      // aggregates the q52 golden pin in DuckDB — a cross-engine value
+      // check of the aggregation (the pin itself is value-gated by q52)
+      import s.implicits._
+      val pages = graft.kg.PagesGen.pages(s, KgPages, 42L)
+      val sents = graft.kg.KgPipeline.sentences(pages)
+      val links = graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
+        graft.kg.KgPipeline.aliasDf(s))
+      val triples = graft.kg.KgPipeline.triples(links, sents)
+      val out = triples.select($"subj".as("node"), lit(1L).as("o"), lit(0L).as("i"))
+      val in = triples.select($"obj".as("node"), lit(0L).as("o"), lit(1L).as("i"))
+      out.union(in).groupBy($"node")
+        .agg(sum($"o").as("out_deg"), sum($"i").as("in_deg"))
+        .withColumn("degree", col("out_deg") + col("in_deg"))
+    }),
     "q54_kg_pagerank" -> ((s, _) => {
       import s.implicits._
       val pages = graft.kg.PagesGen.pages(s, KgPages, 42L)
@@ -646,5 +662,18 @@ object SparkEntry {
       name -> s"SELECT * FROM '${graft.run.GoldenDump.goldenFile(name)}'"
     }.toMap
 
-  def oracleSql: Map[String, String] = relationalSql ++ opsSql ++ goldenPinSql
+  /** q55's oracle aggregates the q52 triples PIN in DuckDB — unlike the
+    * plain pin read-backs this recomputes the degree aggregation in a
+    * second engine (the pin's own values are gated by q52's match). */
+  private val kgSql: Map[String, String] = Map(
+    "q55_kg_degrees" ->
+      s"""WITH t AS (SELECT * FROM '${graft.run.GoldenDump.goldenFile("q52_kg_triples")}'),
+            d AS (SELECT subj AS node, CAST(1 AS BIGINT) AS o, CAST(0 AS BIGINT) AS i FROM t
+                  UNION ALL
+                  SELECT obj AS node, CAST(0 AS BIGINT) AS o, CAST(1 AS BIGINT) AS i FROM t)
+         SELECT node, CAST(sum(o) AS BIGINT) AS out_deg, CAST(sum(i) AS BIGINT) AS in_deg,
+                CAST(sum(o) + sum(i) AS BIGINT) AS degree
+         FROM d GROUP BY node""")
+
+  def oracleSql: Map[String, String] = relationalSql ++ opsSql ++ goldenPinSql ++ kgSql
 }
