@@ -25,9 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  private def words(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"))
+  private def words(text: Column): Column = TextStats.words(text)
 
   /** Occurrences of `term` in the doc's token array — scan-side, no explode. */
   def termFreq(ws: Column, term: String): Column =

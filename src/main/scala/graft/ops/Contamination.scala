@@ -18,30 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
-  /** Word n-gram array of `text` (lowercased, whitespace-tokenized); empty
-    * when the doc has fewer than n words. */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val ws = when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"))
-    val cnt = size(ws) - (n - 1)
-    when(cnt <= 0, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), cnt),
-        i => concat_ws(" ", slice(ws, i, lit(n)))))
-  }
-
   /** xxhash64 of each DISTINCT word n-gram, via the native shingle kernel
-    * (one tight loop per row vs the interpreted `transform` lambda of
-    * [[wordNgrams]] — the q36 kernel rationale; the kernel's hash is
-    * exactly Spark's xxhash64 over the gram string, so it joins cleanly
-    * against `xxhash64(gram)` computed anywhere else). The kernel's
-    * short-doc convention (whole text as one shingle when < n words) is
-    * masked to THIS operator's convention: no grams. */
-  def gramHashes(text: Column, n: Int): Column = {
-    val nw = when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "[ \\t\\n\\f\\r]+")))
-    when(nw < n, array().cast("array<bigint>"))
+    * (one tight loop per row vs an interpreted `transform` lambda — the
+    * q36 kernel rationale; the kernel's hash is exactly Spark's xxhash64
+    * over the gram string, so it joins cleanly against `xxhash64(gram)`
+    * computed anywhere else). The kernel's short-doc convention (whole
+    * text as one shingle when < n words) is masked to THIS operator's
+    * convention: no grams. */
+  def gramHashes(text: Column, n: Int): Column =
+    when(size(TextStats.words(text)) < n, array().cast("array<bigint>"))
       .otherwise(Dedup.shingleHashes(text, n))
-  }
 
   /** Per-doc contamination report of `docs` against `benchmark`
     * (both need doc_id + text). Output: one row per corpus doc with the

@@ -25,9 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  private def words(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"))
+  private def words(text: Column): Column = TextStats.words(text)
 
   /** (doc_id, w1, w2) adjacent-bigram rows of a docs table. */
   private def bigramRows(docs: DataFrame, textCol: String): DataFrame = {

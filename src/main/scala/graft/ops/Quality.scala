@@ -31,48 +31,58 @@ object Quality {
       graft.plans.RepetitionStatsExpression(
         org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
-  /** count(most frequent word) / count(words), 0.0 for empty docs. */
-  def topWordRatio(text: Column): Column = {
-    val s = repetitionStats(text)
+  // ratio derivations over an already-computed stats struct — every public
+  // surface builds ONE repetitionStats(text) subtree and derives all ratios
+  // from it, so codegen subexpression elimination runs the kernel once per
+  // row even when several signals appear in one projection/filter
+  private def topWordRatioOf(s: Column): Column =
     when(s.getField("n_words") === 0, lit(0.0))
       .otherwise(round(s.getField("top_word").cast("double") /
         s.getField("n_words").cast("double"), 4))
-  }
 
-  /** count(most frequent bigram) / count(bigrams), 0.0 below 2 words. */
-  def topBigramRatio(text: Column): Column = {
-    val s = repetitionStats(text)
+  private def topBigramRatioOf(s: Column): Column =
     when(s.getField("n_words") < 2, lit(0.0))
       .otherwise(round(s.getField("top_bigram").cast("double") /
         (s.getField("n_words") - 1).cast("double"), 4))
-  }
 
-  /** distinct words / words, 1.0 convention for empty docs. */
-  def distinctRatio(text: Column): Column = {
-    val s = repetitionStats(text)
+  private def distinctRatioOf(s: Column): Column =
     when(s.getField("n_words") === 0, lit(1.0))
       .otherwise(round(s.getField("n_distinct").cast("double") /
         s.getField("n_words").cast("double"), 4))
-  }
+
+  /** count(most frequent word) / count(words), 0.0 for empty docs. */
+  def topWordRatio(text: Column): Column = topWordRatioOf(repetitionStats(text))
+
+  /** count(most frequent bigram) / count(bigrams), 0.0 below 2 words. */
+  def topBigramRatio(text: Column): Column = topBigramRatioOf(repetitionStats(text))
+
+  /** distinct words / words, 1.0 convention for empty docs. */
+  def distinctRatio(text: Column): Column = distinctRatioOf(repetitionStats(text))
+
+  private def passesOf(s: Column, maxTopWord: Double, maxTopBigram: Double,
+                       minDistinct: Double): Column =
+    when((topWordRatioOf(s) <= maxTopWord) &&
+      (topBigramRatioOf(s) <= maxTopBigram) &&
+      (distinctRatioOf(s) >= minDistinct), lit(true)).otherwise(lit(false))
 
   /** Gopher-style repetition gate: true = doc looks natural, false = doc is
-    * repetition-dominated boilerplate/spam. */
+    * repetition-dominated boilerplate/spam. Single CaseWhen over one stats
+    * subtree (not a bare top-level conjunction, which predicate splitting
+    * could tear into filters that no longer share the kernel call). */
   def passesRepetitionFilter(text: Column,
                              maxTopWord: Double = 0.20,
                              maxTopBigram: Double = 0.18,
                              minDistinct: Double = 0.30): Column =
-    (topWordRatio(text) <= maxTopWord) &&
-      (topBigramRatio(text) <= maxTopBigram) &&
-      (distinctRatio(text) >= minDistinct)
+    passesOf(repetitionStats(text), maxTopWord, maxTopBigram, minDistinct)
 
   /** Per-doc repetition report over a docs table. */
   def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+    val s = repetitionStats(col(textCol))
     docs.select(col("doc_id"),
-      repetitionStats(t).getField("n_words").cast("long").as("n_words"),
-      topWordRatio(t).as("top_word_ratio"),
-      topBigramRatio(t).as("top_bigram_ratio"),
-      distinctRatio(t).as("distinct_ratio"),
-      passesRepetitionFilter(t).as("passes"))
+      s.getField("n_words").cast("long").as("n_words"),
+      topWordRatioOf(s).as("top_word_ratio"),
+      topBigramRatioOf(s).as("top_bigram_ratio"),
+      distinctRatioOf(s).as("distinct_ratio"),
+      passesOf(s, 0.20, 0.18, 0.30).as("passes"))
   }
 }

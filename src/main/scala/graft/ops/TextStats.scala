@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
   * whole-stage-codegen span and scale embarrassingly. */
 object TextStats {
 
+  /** THE canonical corpus tokenization, shared by every text operator
+    * (Bm25, LmScore, Contamination guards, stopwords) and mirrored by the
+    * native kernels (`TextHash.tokens`) and every DuckDB oracle's
+    * `regexp_split_to_array(lower(trim(text)), '\s+')`: lowercase, trim,
+    * split on the explicit whitespace class. Change it HERE or nowhere —
+    * a divergent copy silently breaks oracle parity. Empty/whitespace-only
+    * text ⇒ empty array (split of "" would yield [""]). */
+  def words(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(lower(trim(text)), "[ \\t\\n\\f\\r]+"))
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(split(trim(text), "[ \\t\\n\\f\\r]+")))

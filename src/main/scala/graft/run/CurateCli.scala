@@ -11,8 +11,8 @@ import graft.ops._
   * plus a per-stage funnel report.
   *
   * Stages (each a parquet dir + manifest under <outRoot>, resumable):
-  *   stats      per-doc signals: quality, language, repetition, LM score
-  *   clean      gate on the signals; PII-redact survivors
+  *   stats      per-doc signals: quality, language heuristic, repetition
+  *   clean      gate on quality + language + repetition; PII-redact survivors
   *   dedup      exact keep-first, then MinHash-LSH near-dup prune
   *   sample     deterministic md5-bucket mixture by language
   *   report.json  funnel counts per stage
@@ -61,7 +61,7 @@ object CurateCli {
 
     val clean = Checkpoints.stage(spark, outRoot, "clean", log) {
       stats
-        .filter(col("quality") >= minQuality && col("passes_repetition"))
+        .filter(col("is_en") && col("quality") >= minQuality && col("passes_repetition"))
         .withColumn("clean_text", Scrub.redact(col("text")))
         .drop("text")
     }

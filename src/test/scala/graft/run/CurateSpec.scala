@@ -10,13 +10,22 @@ class CurateSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
   import spark.implicits._
 
+  private var plantedSourceId: Long = -1L
+
   private lazy val inputDir: String = {
     // sf0.001 docs + planted exact dup + planted near-dup (survives exact,
     // must die in the MinHash stage)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text", "lang")
-    val keep = docs.filter(length(trim($"text")) > 50).limit(1)
+    // the planted source must SURVIVE the clean gates (language + quality +
+    // repetition), otherwise the dedup-kill assertions pass vacuously
+    val keep = docs.filter(length(trim($"text")) > 50)
+      .filter(graft.ops.TextStats.isEnglishHeuristic($"text"))
+      .filter(graft.ops.TextStats.qualityScore($"text") >= 0.5)
+      .filter(graft.ops.Quality.passesRepetitionFilter($"text"))
+      .limit(1)
       .select($"doc_id", $"text", $"lang").as[(Long, String, String)].head()
+    plantedSourceId = keep._1
     val planted = Seq(
       (900001L, keep._2, keep._3),
       (900002L, keep._2 + " extraword", keep._3)).toDF("doc_id", "text", "lang")
@@ -44,6 +53,11 @@ class CurateSpec extends AnyFunSuite {
 
   test("planted exact and near duplicates die in the dedup stage") {
     funnel
+    // the planted docs must REACH dedup (pass the clean gates) — otherwise
+    // the kill assertions below are vacuous
+    val cleaned = spark.read.parquet(s"$outRoot/clean").select("doc_id").as[Long].collect().toSet
+    assert(cleaned.contains(900001L) && cleaned.contains(900002L) &&
+      cleaned.contains(plantedSourceId), "planted docs must pass the clean gates")
     val surv = spark.read.parquet(s"$outRoot/dedup").select("doc_id").as[Long].collect().toSet
     assert(!surv.contains(900001L), "exact dup must lose to the original (min doc_id)")
     assert(!surv.contains(900002L), "near dup must be pruned by MinHash")
