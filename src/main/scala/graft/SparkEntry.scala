@@ -296,6 +296,17 @@ object SparkEntry {
       graft.ops.Bm25.search(t(s, dir, "documents"), Bm25Queries, k = 5)),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
+    "q47_sketch_distinct" -> ((s, dir) => {
+      // HLL++ mergeable-sketch distinct counting — THE 10^12-row distinct
+      // path (one pass, fixed-size registers, order-independent merges —
+      // parallelism-determinism gated in CurationSpec). Exact distinct
+      // rides along so the pin itself documents the sketch error.
+      val d = t(s, dir, "documents")
+      d.groupBy(col("lang")).agg(
+        approx_count_distinct(TextStats.fingerprint(col("text")), 0.02).as("approx_distinct"),
+        count_distinct(TextStats.fingerprint(col("text"))).as("exact_distinct"),
+        count(lit(1)).as("n_docs"))
+    }),
     "q45_group_quantiles" -> ((s, dir) =>
       graft.ops.Stats.groupQuantiles(t(s, dir, "documents"), "lang", "n_chars")),
     "q46_incremental_dedup" -> ((s, dir) => {

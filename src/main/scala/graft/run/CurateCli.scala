@@ -43,6 +43,7 @@ object CurateCli {
   def run(spark: SparkSession, outRoot: String, inputDir: String,
           minQuality: Double = 0.5, defaultRate: Double = 1.0,
           log: String => Unit = println): Seq[String] = {
+    val t0 = System.nanoTime()
     val docs = spark.read.parquet(inputDir)
     val hasLang = docs.columns.contains("lang")
     val nIn = docs.count()
@@ -87,9 +88,14 @@ object CurateCli {
     val funnel = Seq(
       "input" -> nIn, "stats" -> stats.count(), "clean" -> clean.count(),
       "dedup" -> deduped.count(), "sample" -> sampled.count())
+    val wall = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nIn / math.max(wall, 1e-9)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outRoot/report.json"),
-      funnel.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+      (funnel.map { case (k, v) => s""""$k":$v""" } :+
+        f""""wall_sec":$wall%.1f""" :+ f""""docs_per_sec":$docsPerSec%.1f""")
+        .mkString("{", ",", "}"))
+    log(f"[curate] wall=${wall}%.1f s, ${docsPerSec}%.1f docs/s through the funnel")
     funnel.map { case (k, v) => s"$k=$v" }
   }
 }

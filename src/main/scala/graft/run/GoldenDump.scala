@@ -33,7 +33,8 @@ object GoldenDump {
       "q54_kg_pagerank")
   val OpsQueries: Seq[String] =
     Seq("q23_minhash_pairs", "q24_simhash_pairs", "q31_ann_lsh", "q32_embed_dups",
-      "q33_ann_ivf", "q41_media_decode", "q42_media_image", "q43_frame_sample")
+      "q33_ann_ivf", "q41_media_decode", "q42_media_image", "q43_frame_sample",
+      "q47_sketch_distinct")
   val GoldenQueries: Seq[String] = KgQueries ++ OpsQueries
 
   def goldenFile(name: String): String =

@@ -131,6 +131,18 @@ class CurationSpec extends AnyFunSuite {
     assert(kept === Seq(11L, 13L))
   }
 
+  test("HLL sketch distinct: within rsd error bound and parallelism-deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    def run(parts: Int) = docs.repartition(parts).groupBy($"lang")
+      .agg(approx_count_distinct(TextStats.fingerprint($"text"), 0.02).as("ad"),
+        count_distinct(TextStats.fingerprint($"text")).as("ed"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a = run(1)
+    assert(a === run(7), "HLL merges must be order/parallelism-independent")
+    for ((lang, (ad, ed)) <- a)
+      assert(math.abs(ad - ed).toDouble / ed <= 3 * 0.02, s"$lang: approx $ad vs exact $ed")
+  }
+
   // ------------------------------------------------------------ BM25
 
   test("bm25 matches a driver-side reference implementation") {
