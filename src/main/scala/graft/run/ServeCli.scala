@@ -69,6 +69,33 @@ object ServeCli {
       }
     })
 
+    // KG-as-a-service: POST /triples {"text": ...} runs the SAME page-local
+    // decode→link→relate chain as the streaming/batch pipelines
+    // (graft.kg.PageLocal — one implementation, three surfaces)
+    val tripleAlias = graft.kg.PageLocal.aliasIndex
+    val triplePatterns = graft.kg.PageLocal.compilePatterns()
+    server.createContext("/triples", (ex: HttpExchange) => {
+      try {
+        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          val texts = parseTexts(body)
+          val decoder = decoders.get()
+          val data = texts.map { text =>
+            val ts = text.split('\n').iterator.flatMap(s =>
+              graft.kg.PageLocal.sentenceTriples(decoder, s, tripleAlias, triplePatterns))
+            val items = ts.map(t =>
+              s"""{"subj":${jstr(t.subj)},"pred":${jstr(t.pred)},"obj":${jstr(t.obj)},"conf":${t.conf}}""")
+              .mkString("[", ",", "]")
+            s"""{"text":${jstr(text)},"triples":$items}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, s"""{"data":$data}""")
+        }
+      } catch {
+        case e: Exception => respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
+      }
+    })
+
     // highlighted-entity demo (the reference's visualize.py Gradio
     // HighlightedText surface, ref visualize.py:23-45, as plain HTML):
     // GET /visualize?text=... renders the decode with <mark> spans

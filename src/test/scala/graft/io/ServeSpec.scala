@@ -67,4 +67,31 @@ class ServeSpec extends AnyFunSuite {
       assert(bad.statusCode() === 400)
     } finally server.stop(0)
   }
+
+  test("POST /triples runs the shared page-local KG chain") {
+    val kgModel = graft.kg.KgPipeline.trainModel(42L, nTrain = 200)
+    val port = {
+      val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close()
+    }
+    val server = graft.run.ServeCli.start(kgModel, port, "kg-model.json")
+    try {
+      val client = HttpClient.newHttpClient()
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/triples"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"text": "Alice Johnson works at Hooli in Berlin ."}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      val triples = node.get("data").get(0).get("triples")
+      val found = (0 until triples.size()).map { i =>
+        val t = triples.get(i)
+        (t.get("subj").asText(), t.get("pred").asText(), t.get("obj").asText())
+      }.toSet
+      assert(found.contains(("PER:Alice_Johnson", "works_at", "ORG:Hooli")), found.toString)
+      assert(found.contains(("ORG:Hooli", "located_in", "LOC:Berlin")), found.toString)
+      assert(triples.get(0).get("conf").asDouble() > 0.0)
+    } finally server.stop(0)
+  }
 }
