@@ -63,6 +63,30 @@ object Bench {
     (nPages / wall, nMentions / wall, nMentions)
   }
 
+  /** Curation-funnel throughput: synthesize `nDocs` web-text-like docs
+    * in-Spark (deterministic, no driver data), run the scan-side signal
+    * suite (quality, repetition kernel, trigram langid, PII scrub) plus the
+    * one-shuffle fingerprint dedup, count survivors. The curation
+    * counterpart of [[kgThroughput]] for the N-vs-4N scaling protocol. */
+  def curateThroughput(spark: SparkSession, nDocs: Long): (Double, Double, Long) = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    // deterministic word-salad docs over a vocab with real stopwords so the
+    // language gate has both passers and failers; ~60 words/doc
+    val vocab = (graft.ops.TextStats.EnStopwords ++ Seq("table", "spark", "hash",
+      "merge", "sort", "window", "batch", "scan", "row", "value", "key", "part",
+      "fast", "slow", "line", "data", "join", "agg", "plan", "query")).toArray
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(59)),
+        i => element_at(lit(vocab),
+          (pmod(xxhash64(col("id") * 61 + i), lit(vocab.length)) + 1).cast("int"))))
+        .as("text"))
+    val survivors = graft.ops.Scrub.corpusClean(docs, minQuality = 0.3)
+    val n = survivors.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    (nDocs / wall, n / wall, n)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0

@@ -231,6 +231,7 @@ object ScalingBench {
 
     def job(spark: org.apache.spark.sql.SparkSession, n: Long) =
       if (stage == "mentions") Bench.mentionThroughput(spark, n)
+      else if (stage == "curate") Bench.curateThroughput(spark, n)
       else Bench.kgThroughput(spark, n)
 
     // parallel utilization = Σ task executorRunTime / (wall × threads): a
