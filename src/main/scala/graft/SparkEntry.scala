@@ -296,6 +296,23 @@ object SparkEntry {
       graft.ops.Bm25.search(t(s, dir, "documents"), Bm25Queries, k = 5)),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
+    "q48_quality_mixture" -> ((s, dir) => {
+      // importance sampling by quality band: higher-quality docs keep at a
+      // higher rate — the mixture-reweighting step after scoring. Stratum =
+      // quality band (codegen'd), decision = the same md5-bucket predicate
+      // as q38; everything stays scan-side.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // round BEFORE the long cast: quality·10 lands on values like
+        // 2.9999999999999996 (0.3 is inexact in binary) and Spark's
+        // double→long cast TRUNCATES while DuckDB's rounds — an explicit
+        // round(x, 0) on both sides makes the band engine-identical
+        .withColumn("band",
+          round(TextStats.qualityScore(col("text")) * 10, 0).cast("long"))
+      graft.ops.Sampling.stratifiedSample(
+        docs.withColumn("band_s", col("band").cast("string")), "band_s",
+        Map("10" -> 1.0, "9" -> 0.75, "8" -> 0.5, "7" -> 0.5), defaultRate = 0.125)
+        .select(col("doc_id"), col("band"), col("bucket"))
+    }),
     "q47_sketch_distinct" -> ((s, dir) => {
       // HLL++ mergeable-sketch distinct counting — THE 10^12-row distinct
       // path (one pass, fixed-size registers, order-independent merges —
@@ -368,7 +385,28 @@ object SparkEntry {
     2L -> Seq("hash", "merge", "sort"),
     3L -> Seq("window", "batch"))
 
+  /** The q20 quality-score formula as DuckDB SQL (shared by q48). */
+  private val qualityScoreSql: String =
+    """round((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
+       + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+             x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
+             / len(regexp_split_to_array(lower(trim(text)), '\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
+       + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
+             / length(regexp_replace(text, '\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
+       + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g')) * 1.0
+             / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2)"""
+
   private val opsSql: Map[String, String] = Map(
+    "q48_quality_mixture" ->
+      s"""WITH q AS (SELECT doc_id, text,
+              CAST(round($qualityScoreSql * 10, 0) AS BIGINT) AS band FROM documents),
+            b AS (SELECT doc_id, band,
+              substring(md5(CAST(doc_id AS VARCHAR) || ':' || text), 1, 4) AS bucket FROM q)
+         SELECT doc_id, band, bucket FROM b
+         WHERE bucket < (CASE CAST(band AS VARCHAR)
+                         WHEN '10' THEN 'g' WHEN '9' THEN 'c000'
+                         WHEN '8' THEN '8000' WHEN '7' THEN '8000'
+                         ELSE '2000' END)""",
     "q36_repetition" ->
       """WITH toks AS (SELECT doc_id,
               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
