@@ -64,10 +64,13 @@ object Bench {
   }
 
   /** Curation-funnel throughput: synthesize `nDocs` web-text-like docs
-    * in-Spark (deterministic, no driver data), run the scan-side signal
-    * suite (quality, repetition kernel, trigram langid, PII scrub) plus the
-    * one-shuffle fingerprint dedup, count survivors. The curation
-    * counterpart of [[kgThroughput]] for the N-vs-4N scaling protocol. */
+    * in-Spark (deterministic, no driver data), run the scan-side gate
+    * suite — stopword-heuristic language id, quality score, the native
+    * repetition kernel — then PII redaction and the one-shuffle fingerprint
+    * keep-first dedup, and count survivors. The curation counterpart of
+    * [[kgThroughput]] for the N-vs-4N scaling protocol. (The gates listed
+    * here are EXACTLY what runs — the measured chain is
+    * `passesRepetitionFilter` + `corpusClean`.) */
   def curateThroughput(spark: SparkSession, nDocs: Long): (Double, Double, Long) = {
     import org.apache.spark.sql.functions._
     val t0 = System.nanoTime()
@@ -81,7 +84,8 @@ object Bench {
         i => element_at(lit(vocab),
           (pmod(xxhash64(col("id") * 61 + i), lit(vocab.length)) + 1).cast("int"))))
         .as("text"))
-    val survivors = graft.ops.Scrub.corpusClean(docs, minQuality = 0.3)
+    val gated = docs.filter(graft.ops.Quality.passesRepetitionFilter(col("text")))
+    val survivors = graft.ops.Scrub.corpusClean(gated, minQuality = 0.3)
     val n = survivors.count()
     val wall = (System.nanoTime() - t0) / 1e9
     (nDocs / wall, n / wall, n)

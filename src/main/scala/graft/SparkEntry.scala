@@ -497,7 +497,7 @@ object SparkEntry {
          CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpeish
          FROM documents""",
     "q20_textstats" ->
-      """SELECT doc_id, length(text) AS n_chars,
+      ("""SELECT doc_id, length(text) AS n_chars,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
          round(CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.0
@@ -507,16 +507,9 @@ object SparkEntry {
               ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
                    x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
                    / len(regexp_split_to_array(lower(trim(text)), '\s+')) END, 4) AS stopword_ratio,
-         CAST(round((CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
-             + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-                   x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
-                   / len(regexp_split_to_array(lower(trim(text)), '\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
-             + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
-                   / length(regexp_replace(text, '\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
-             + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g')) * 1.0
-                   / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2) AS DOUBLE) AS quality,
+         CAST(""" + qualityScoreSql + """ AS DOUBLE) AS quality,
          md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
-         FROM documents""",
+         FROM documents"""),
     "q21_dedup_exact" ->
       s"""WITH alldocs AS ($dupsUnionSql
            UNION ALL
@@ -592,14 +585,7 @@ object SparkEntry {
                        ELSE len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
                             x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
                             / len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS swr,
-                  round((CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) BETWEEN 10 AND 5000 THEN 0.4 ELSE 0.0 END)
-                  + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
-                        x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
-                        / len(regexp_split_to_array(lower(trim(text)), '\\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
-                  + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\\[\\]-]', '', 'g')) * 1.0
-                        / length(regexp_replace(text, '\\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
-                  + (CASE WHEN (length(regexp_replace(text, '\\s', '', 'g')) * 1.0
-                        / len(regexp_split_to_array(trim(text), '\\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2) AS quality,
+                  $qualityScoreSql AS quality,
                   CAST(CASE WHEN length(trim(text)) = 0 THEN 0
                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp

@@ -42,7 +42,9 @@ object PageLocal {
   def linkSentence(decoder: CrfDecoder, sent: String,
                    alias: Map[String, Seq[(String, Double)]]): Seq[Linked] =
     decoder.process(sent).flatMap { sp =>
-      val cands = alias.getOrElse(sp.value.toLowerCase, Nil)
+      // Locale.ROOT: Spark's lower() is locale-independent; a default-locale
+      // toLowerCase diverges on Turkish-locale JVMs (İ/ı) and breaks parity
+      val cands = alias.getOrElse(sp.value.toLowerCase(java.util.Locale.ROOT), Nil)
         .filter(_._1.take(3) == sp.entity)
       if (cands.isEmpty) None
       else {

@@ -90,12 +90,15 @@ object CurateCli {
       "dedup" -> deduped.count(), "sample" -> sampled.count())
     val wall = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nIn / math.max(wall, 1e-9)
+    // Locale.ROOT: the f-interpolator honors the JVM default locale — a
+    // comma-decimal locale would render "wall_sec":12,3 (invalid JSON)
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outRoot/report.json"),
       (funnel.map { case (k, v) => s""""$k":$v""" } :+
-        f""""wall_sec":$wall%.1f""" :+ f""""docs_per_sec":$docsPerSec%.1f""")
+        s""""wall_sec":${num(wall)}""" :+ s""""docs_per_sec":${num(docsPerSec)}""")
         .mkString("{", ",", "}"))
-    log(f"[curate] wall=${wall}%.1f s, ${docsPerSec}%.1f docs/s through the funnel")
+    log(s"[curate] wall=${num(wall)} s, ${num(docsPerSec)} docs/s through the funnel")
     funnel.map { case (k, v) => s"$k=$v" }
   }
 }

@@ -49,52 +49,44 @@ object ServeCli {
     server.createContext("/status", (ex: HttpExchange) =>
       respond(ex, 200, s"""{"status":"OK","crf_model":${jstr(modelName)}}"""))
 
-    server.createContext("/parse", (ex: HttpExchange) => {
-      try {
-        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-        else {
-          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          val texts = parseTexts(body)
-          val decoder = decoders.get()
-          val data = texts.map { text =>
-            val ents = decoder.process(text).map { s =>
-              s"""{"start":${s.start},"end":${s.end},"value":${jstr(s.value)},"entity":${jstr(s.entity)}}"""
-            }.mkString("[", ",", "]")
-            s"""{"text":${jstr(text)},"entities":$ents}"""
-          }.mkString("[", ",", "]")
-          respond(ex, 200, s"""{"data":$data}""")
+    // shared scaffolding for the POST-texts endpoints (/parse, /triples):
+    // method check, body read, text parsing, data envelope, error shape —
+    // ONE implementation so a charset/error fix cannot miss an endpoint
+    def textsEndpoint(renderOne: (CrfDecoder, String) => String): HttpExchange => Unit =
+      (ex: HttpExchange) => {
+        try {
+          if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
+          else {
+            val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val decoder = decoders.get()
+            val data = parseTexts(body).map(renderOne(decoder, _)).mkString("[", ",", "]")
+            respond(ex, 200, s"""{"data":$data}""")
+          }
+        } catch {
+          case e: Exception => respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
         }
-      } catch {
-        case e: Exception => respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
       }
-    })
+
+    server.createContext("/parse", textsEndpoint { (decoder, text) =>
+      val ents = decoder.process(text).map { s =>
+        s"""{"start":${s.start},"end":${s.end},"value":${jstr(s.value)},"entity":${jstr(s.entity)}}"""
+      }.mkString("[", ",", "]")
+      s"""{"text":${jstr(text)},"entities":$ents}"""
+    }(_))
 
     // KG-as-a-service: POST /triples {"text": ...} runs the SAME page-local
     // decode→link→relate chain as the streaming/batch pipelines
     // (graft.kg.PageLocal — one implementation, three surfaces)
     val tripleAlias = graft.kg.PageLocal.aliasIndex
     val triplePatterns = graft.kg.PageLocal.compilePatterns()
-    server.createContext("/triples", (ex: HttpExchange) => {
-      try {
-        if (ex.getRequestMethod != "POST") respond(ex, 405, """{"error":"POST only"}""")
-        else {
-          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-          val texts = parseTexts(body)
-          val decoder = decoders.get()
-          val data = texts.map { text =>
-            val ts = text.split('\n').iterator.flatMap(s =>
-              graft.kg.PageLocal.sentenceTriples(decoder, s, tripleAlias, triplePatterns))
-            val items = ts.map(t =>
-              s"""{"subj":${jstr(t.subj)},"pred":${jstr(t.pred)},"obj":${jstr(t.obj)},"conf":${t.conf}}""")
-              .mkString("[", ",", "]")
-            s"""{"text":${jstr(text)},"triples":$items}"""
-          }.mkString("[", ",", "]")
-          respond(ex, 200, s"""{"data":$data}""")
-        }
-      } catch {
-        case e: Exception => respond(ex, 400, s"""{"error":${jstr(String.valueOf(e.getMessage))}}""")
-      }
-    })
+    server.createContext("/triples", textsEndpoint { (decoder, text) =>
+      val items = text.split('\n').iterator.flatMap(s =>
+          graft.kg.PageLocal.sentenceTriples(decoder, s, tripleAlias, triplePatterns))
+        .map(t =>
+          s"""{"subj":${jstr(t.subj)},"pred":${jstr(t.pred)},"obj":${jstr(t.obj)},"conf":${t.conf}}""")
+        .mkString("[", ",", "]")
+      s"""{"text":${jstr(text)},"triples":$items}"""
+    }(_))
 
     // highlighted-entity demo (the reference's visualize.py Gradio
     // HighlightedText surface, ref visualize.py:23-45, as plain HTML):

@@ -40,7 +40,9 @@ object StreamingTriples {
     // alias surface → candidate (entity_id, prior) list; KB-scale broadcast
     val bcAlias = spark.sparkContext.broadcast(graft.kg.PageLocal.aliasIndex)
 
-    pages.filter(_.lang == "en").mapPartitions { iter =>
+    // COLUMN filter, not a typed lambda: pushes to the source and avoids
+    // deserializing non-English rows (incl. the html bytes) per micro-batch
+    pages.filter(col("lang") === "en").as[Page].mapPartitions { iter =>
       val decoder = new graft.crf.CrfDecoder(bcModel.value)
       val alias = bcAlias.value
       val compiled = graft.kg.PageLocal.compilePatterns()
