@@ -224,6 +224,16 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("lm score is bit-identical across partitionings (the fixed-point guarantee)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) = LmScore.meanLogProb(df)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val a = run(docs.repartition(1))
+    val b = run(docs.repartition(7))
+    assert(a === b, "Long fixed-point sums must make the score partitioning-independent")
+  }
+
   test("bm25 rank 1 is the focused high-tf doc; zero-score docs never appear") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
