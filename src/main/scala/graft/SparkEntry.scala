@@ -391,7 +391,8 @@ object SparkEntry {
        + (CASE WHEN (len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
              x -> x IN ('the','a','an','and','or','of','to','in','on','is','are','was','were','it','that','this','for','with','as','at','by','be','from'))) * 1.0
              / len(regexp_split_to_array(lower(trim(text)), '\s+'))) >= 0.05 THEN 0.3 ELSE 0.0 END)
-       + (CASE WHEN (length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
+       + (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) = 0 THEN 0.2
+               WHEN (length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) * 1.0
              / length(regexp_replace(text, '\s', '', 'g'))) <= 0.2 THEN 0.2 ELSE 0.0 END)
        + (CASE WHEN (length(regexp_replace(text, '\s', '', 'g')) * 1.0
              / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2)"""

@@ -37,8 +37,16 @@ object Bm25 {
   def search(docs: DataFrame, queries: Seq[(Long, Seq[String])], k: Int = 5,
              k1: Double = 1.2, b: Double = 0.75,
              textCol: String = "text"): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs a non-empty term list")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be distinct (they name the per-query score columns)")
     val allTerms: Seq[String] = queries.flatMap(_._2).distinct.sorted
-    val ws = words(col(textCol))
+    // tokenize ONCE per scan as a real column: every per-term tf expression
+    // below references the attribute, so splitting is not left to codegen
+    // subexpression elimination (an optimizer-behavior dependency)
+    val ws = col("__ws")
+    val docsW = docs.withColumn("__ws", words(col(textCol)))
 
     // pass 1: N, avgdl, df per query term — one aggregation row
     val statAggs =
@@ -47,10 +55,10 @@ object Bm25 {
         allTerms.zipWithIndex.map { case (term, i) =>
           sum(when(termFreq(ws, term) > 0, 1.0).otherwise(0.0)).as(s"df_$i")
         }
-    val stats = docs.agg(statAggs.head, statAggs.tail: _*)
+    val stats = docsW.agg(statAggs.head, statAggs.tail: _*)
 
     // pass 2: fixed-order per-query score expressions over the broadcast stats
-    val withStats = docs.crossJoin(broadcast(stats))
+    val withStats = docsW.crossJoin(broadcast(stats))
     val dl = size(ws).cast("double")
     val norm = lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl"))
     def termScore(term: String): Column = {
@@ -84,6 +92,10 @@ object Bm25 {
   def oracleSql(queries: Seq[(Long, Seq[String])], k: Int = 5,
                 k1: Double = 1.2, b: Double = 0.75,
                 table: String = "documents"): String = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "every query needs a non-empty term list")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "query ids must be distinct")
     val allTerms = queries.flatMap(_._2).distinct.sorted
     def tfSql(term: String) =
       s"len(list_filter(words, w -> w = '$term'))"

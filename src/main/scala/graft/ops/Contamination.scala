@@ -33,7 +33,11 @@ object Contamination {
     * (both need doc_id + text). Output: one row per corpus doc with the
     * number of distinct n-grams shared with the benchmark and the fraction
     * of its n-grams that are contaminated. Benchmark docs themselves are
-    * excluded from the report (anti-join on doc_id). */
+    * excluded from the report (anti-join on doc_id) — this ASSUMES the two
+    * tables share one doc_id space (the corpus-slice-as-benchmark case); if
+    * the benchmark carries unrelated ids, a coincidental collision would
+    * silently drop a corpus doc from the report, so callers with disjoint id
+    * spaces should remap benchmark ids (e.g. negate them) before calling. */
   def report(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
              textCol: String = "text"): DataFrame = {
     // distinct benchmark n-grams, hashed map-side by the kernel — the

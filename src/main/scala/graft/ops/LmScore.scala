@@ -14,27 +14,40 @@ import org.apache.spark.sql.functions._
   * aggregation is an exact integer sum — bit-identical at any parallelism
   * (a double sum over shuffled rows would be partition-order-dependent).
   * p itself is a single division of exact integer counts, so both engines
-  * compute the identical double.
+  * compute the identical double. Cross-ENGINE caveat (not cross-partition):
+  * the quantization assumes JVM Math.log and the oracle engine's ln agree —
+  * both are correctly-rounded in practice, but floor(ln(p)·1e9) can differ
+  * by 1 when ln(p)·1e9 lands within ~1e-5 of an integer; the final
+  * round(mean, 4) absorbs a single-ulp disagreement, so parity is a tested
+  * property of this corpus-scale pipeline, not a bitwise guarantee per
+  * bigram.
   *
-  * Scale design: counts are two hash aggregations (map-side partial) over
-  * exploded tokens; scoring is one join keyed by (w1, w2) and one by w1 —
-  * both plain shuffle joins (the model tables grow with the corpus; no
-  * broadcast assumption), with AQE skew handling for stop-word-hot keys —
-  * then one count-shaped aggregation per doc. Nothing is collected to the
+  * Scale design: the corpus is TOKENIZED ONCE — a persisted (doc_id, words)
+  * projection feeds unigram counts, bigram counts, the scored bigrams and
+  * the final per-doc frame (the previous formulation re-derived it per
+  * consumer: 10 scans, 5 redundant tokenizations; at a real lake scale this
+  * projection would be a parquet checkpoint — kg.Checkpoints — instead of a
+  * cache). |V| is derived from the unigram table (count of rows), never a
+  * separate pass. Counts are hash aggregations (map-side partial); the
+  * (w1, w2) model join is a plain shuffle join (model tables grow with the
+  * corpus; no broadcast assumption); the w1 unigram join is EXPLICITLY
+  * SALTED ([[SkewJoin]]) — unigram keys are Zipf-distributed and stop words
+  * are the canonical hot key, the north rule's explicit-skew case — then
+  * one count-shaped aggregation per doc. Nothing is collected to the
   * driver.
   */
 object LmScore {
 
   private def words(text: Column): Column = TextStats.words(text)
 
-  /** (doc_id, w1, w2) adjacent-bigram rows of a docs table. */
-  private def bigramRows(docs: DataFrame, textCol: String): DataFrame = {
-    val ws = words(col(textCol))
+  /** (doc_id, w1, w2) adjacent-bigram rows of a tokenized (doc_id, ws) frame. */
+  private def bigramRows(toks: DataFrame): DataFrame = {
+    val ws = col("ws")
     val n = size(ws)
     val pairs = when(n < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
-    docs.select(col("doc_id"), explode(pairs).as("p"))
+    toks.select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
   }
 
@@ -44,16 +57,29 @@ object LmScore {
     * strongly negative ⇒ out-of-distribution/gibberish. */
   def meanLogProb(docs: DataFrame, trainOn: Option[DataFrame] = None,
                   textCol: String = "text"): DataFrame = {
-    val train = trainOn.getOrElse(docs)
-    val trainWords = train.select(explode(words(col(textCol))).as("w"))
-    val uni = trainWords.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val vocab = trainWords.agg(count_distinct(col("w")).as("v"))
-    val big = bigramRows(train, textCol).groupBy(col("w1"), col("w2"))
+    // tokenize once; self-train shares the same persisted projection
+    val toks = docs.select(col("doc_id"), words(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainToks = trainOn
+      .map(t => t.select(col("doc_id"), words(col(textCol)).as("ws"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      .getOrElse(toks)
+
+    val uni = trainToks.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // |V| = row count of the unigram model — no extra pass over the tokens
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = bigramRows(trainToks).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
 
-    val scored = bigramRows(docs, textCol)
+    val withBigram = bigramRows(toks)
       .join(big, Seq("w1", "w2"), "left_outer")
-      .join(uni.withColumnRenamed("w", "w1"), Seq("w1"), "left_outer")
+    // w1 → unigram-count join, salted: stop-word keys carry a large share of
+    // all bigram rows (Zipf), and this repo handles skew explicitly rather
+    // than leaning on AQE's runtime split (north rule)
+    val scored = graft.ops.SkewJoin.saltedJoin(
+        withBigram, uni.withColumnRenamed("w", "w1u"),
+        bigKey = "w1", smallKey = "w1u", joinType = "left_outer")
       .crossJoin(broadcast(vocab))
       // p = (c12 + 1) / (c1 + V): exact-integer operands ⇒ identical double
       // in any engine; fixed-point floor(ln·1e9) ⇒ exact Long sums
@@ -69,7 +95,7 @@ object LmScore {
           .as("avg_logp"))
 
     // docs with < 2 words have no bigrams: emit (0, 0.0) rows for them
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+    toks.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("avg_logp"), lit(0.0)).as("avg_logp"))
   }

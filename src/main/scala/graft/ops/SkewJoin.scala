@@ -17,17 +17,23 @@ import org.apache.spark.sql.functions._
   * row-content collisions only reduce spread, never correctness. */
 object SkewJoin {
 
-  /** Inner equi-join big⨝small on bigKey = smallKey, salted `saltFactor`
-    * ways. Column sets must be disjoint (standard join hygiene). */
+  /** Equi-join big⨝small on bigKey = smallKey, salted `saltFactor` ways.
+    * Column sets must be disjoint (standard join hygiene). `joinType`
+    * supports "inner" and "left_outer" (both preserve per-big-row semantics
+    * under salting: the small side is replicated across every salt value, so
+    * a big row finds its match — or its null row — exactly once). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
-                 saltFactor: Int = 16): DataFrame = {
+                 saltFactor: Int = 16, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1)
+    require(joinType == "inner" || joinType == "left_outer",
+      s"saltedJoin supports inner/left_outer, not $joinType")
     val bigCols: Array[Column] = big.columns.map(big(_))
     val salted = big.withColumn("__salt", pmod(xxhash64(bigCols: _*), lit(saltFactor)))
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltFactor - 1L))))
     salted.join(replicated,
-        salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
+        salted(bigKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"),
+        joinType)
       .drop("__salt")
   }
 }
