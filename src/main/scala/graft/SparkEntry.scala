@@ -371,13 +371,32 @@ object SparkEntry {
       val perturbed = emb.select((col("vec_id") + 1000000).as("vec_id"),
         transform(col("embedding"), (v, i) =>
           (v + when(i === 0, lit(0.01f)).otherwise(lit(0.0f))).cast("float")).as("embedding"))
-      Similarity.cosineDupPairs(emb.union(perturbed), threshold = 0.98, nBits = 8)
+      // nTables=4: recovers the brute-force pair set exactly (the q32 oracle
+      // IS brute force in DuckDB) — single-table LSH missed the ~3% of
+      // planted pairs whose perturbation straddles a hyperplane
+      Similarity.cosineDupPairs(emb.union(perturbed), threshold = 0.98, nBits = 8,
+        nTables = 4)
     }),
     "q40_multimodal_meta" -> ((s, dir) => Multimodal.payloadMeta(t(s, dir, "documents"))),
     "q41_media_decode" -> ((s, dir) => Multimodal.mediaDecodePipeline(t(s, dir, "documents")).toDF()),
     "q42_media_image" -> ((s, dir) => Multimodal.imagePipeline(t(s, dir, "documents")).toDF()),
     "q43_frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePipeline(t(s, dir, "documents").filter(col("doc_id") % 5 === 0)).toDF()))
+
+  /** (doc_id, sig_hi, sig_lo) — the 64-bit simhash of every q24 input doc as
+    * two unsigned 32-bit halves. Pinned by GoldenDump as the INPUT to q24's
+    * independent oracle: the signature kernel itself is not SQL-expressible
+    * (xxhash64 inside), but GIVEN the signatures DuckDB re-mines the entire
+    * Hamming-≤3 pair set by brute force (`bit_count(xor(...))` over all
+    * id-ordered pairs) with no knowledge of the pigeonhole banding — a real
+    * cross-engine check of the distributed pair mining. */
+  def simhashSigFrame(s: SparkSession, dir: String): DataFrame = {
+    def half(off: Int) =
+      aggregate(slice(col("sig"), off, 32), lit(0L), (acc, v) => acc * 2 + v)
+    docsWithDups(s, dir)
+      .select(col("doc_id"), Dedup.simhashBits(col("text")).as("sig"))
+      .select(col("doc_id"), half(1).as("sig_hi"), half(33).as("sig_lo"))
+  }
 
   /** Fixed BM25 query set for q39 (terms from the documents vocabulary). */
   private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
@@ -598,6 +617,37 @@ object SparkEntry {
                     '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+', '[EMAIL]', 'g'),
                     '\\d{3}-\\d{4}', '[PHONE]', 'g')) AS clean_fp
          FROM keep k WHERE k.rn = 1""",
+    // q23's oracle recomputes exact n-gram Jaccard from TEXT in DuckDB (the
+    // q22 formulation) — it checks both the verified pair VALUES and full LSH
+    // COVERAGE: at the gate corpus every true ≥0.8 pair shares an LSH band
+    // (empirically q23 ≡ q22 here), so a banding/recall regression goes red
+    "q23_minhash_pairs" ->
+      s"""WITH $jaccardCtes
+         SELECT a AS doc_a, b AS doc_b,
+                round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+         FROM pairs WHERE inter * 1.0 / (na + nb - inter) >= 0.8""",
+    // brute-force Hamming mining over the PINNED signatures (see
+    // simhashSigFrame): every id-ordered pair, popcount of the xor — zero
+    // knowledge of the pigeonhole banding that produced the Spark-side pairs
+    "q24_simhash_pairs" ->
+      s"""WITH s AS (SELECT doc_id, sig_hi, sig_lo
+                     FROM '${graft.run.GoldenDump.auxPinFile("q24_simhash_sigs")}'),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo)) AS dist
+                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(dist AS BIGINT) AS dist FROM p WHERE dist <= 3""",
+    // brute-force cosine over ALL pairs (the planted-dup construction
+    // mirrored in SQL) — checks values AND multi-table LSH recall
+    "q32_embed_dups" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+            pert AS (SELECT vec_id + 1000000 AS vec_id,
+                     list_concat([CAST(embedding[1] + CAST(0.01 AS FLOAT) AS FLOAT)], embedding[2:]) AS embedding
+                     FROM base),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+            pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos
+                      FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(cos, 4) AS cos FROM pairs WHERE cos >= 0.98""",
     "q30_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
             scored AS (SELECT query_id, e.vec_id AS neighbor_id,
@@ -694,9 +744,14 @@ object SparkEntry {
     * parquet pin: regenerated deliberately via `graft.run.GoldenDump`,
     * drift-gated by GoldenKgSpec. DuckDB just reads the pin back. */
   private val goldenPinSql: Map[String, String] =
-    graft.run.GoldenDump.GoldenQueries.map { name =>
-      name -> s"SELECT * FROM '${graft.run.GoldenDump.goldenFile(name)}'"
-    }.toMap
+    graft.run.GoldenDump.GoldenQueries
+      // queries upgraded to independent cross-engine SQL (q23/q24/q32) keep
+      // their pin ONLY as a test-side drift gate (GoldenKgSpec); the driver
+      // oracle is the real SQL, which must not be overwritten by a read-back
+      .filterNot(opsSql.contains)
+      .map { name =>
+        name -> s"SELECT * FROM '${graft.run.GoldenDump.goldenFile(name)}'"
+      }.toMap
 
   /** q55's oracle aggregates the q52 triples PIN in DuckDB — unlike the
     * plain pin read-backs this recomputes the degree aggregation in a

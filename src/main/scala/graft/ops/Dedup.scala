@@ -258,7 +258,7 @@ object Dedup {
     // within-signature pairs: distance 0
     val within = sigGroups.filter(size(col("docs")) > 1)
       .select(explode(pairCombos(col("docs"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"), lit(0).as("dist"))
+      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"), lit(0L).as("dist"))
 
     // cross-signature pairs via pigeonhole bands over distinct signatures
     val banded = sigGroups.select(col("sigstr"), col("sig"), col("docs"),
@@ -281,7 +281,7 @@ object Dedup {
       .dropDuplicates("stra", "strb")
       .select(explode(crossCombos(col("docsa"), col("docsb"))).as("p"), col("dist"))
       .select(least(col("p._1"), col("p._2")).as("doc_a"),
-        greatest(col("p._1"), col("p._2")).as("doc_b"), col("dist"))
+        greatest(col("p._1"), col("p._2")).as("doc_b"), col("dist").cast("long").as("dist"))
 
     within.union(cross)
   }

@@ -114,19 +114,36 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, candidates from LSH
-    * buckets (never O(n²)). */
+    * buckets (never O(n²)). `nTables` independent hyperplane sets drive
+    * recall exactly as in [[lshTopK]]: a true near-dup pair is missed only if
+    * it straddles a hyperplane in EVERY table (miss^nTables) — at nBits=8,
+    * nTables=4 the driver-gate corpus recovers the brute-force pair set
+    * exactly (q32's independent DuckDB oracle re-mines all pairs by brute
+    * force, so a recall regression goes oracle-red, not silently missing).
+    * The corpus fans out ×nTables slim (tbl, bucket, id, vec) rows — the
+    * standard index-size-for-recall trade. */
   def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, nBits: Int = 10,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // both join sides recompute bucket+norm (one native-kernel pass + one
-    // HOF pass per vector). Deliberately NOT persisted: this is the FULL
-    // corpus with its embedding vectors — caching it would spill the whole
-    // input to executor disk for a 2× saving on a cheap projection (unlike
-    // the candidate-pair persists in Dedup, which are small by construction)
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     nTables: Int = 1): DataFrame = {
+    require(nTables >= 1)
+    // both join sides recompute buckets+norm (one native-kernel pass per
+    // table + one HOF pass per vector). Deliberately NOT persisted: this is
+    // the FULL corpus with its embedding vectors — caching it would spill the
+    // whole input to executor disk for a 2× saving on a cheap projection
+    // (unlike the candidate-pair persists in Dedup, which are small by
+    // construction)
+    val tb = explode(array((0 until nTables).map(t =>
+      struct(lit(t).as("tbl"), lshBucket(col(vecCol), nBits, t).as("bucket"))): _*))
     val withB = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), nBits).as("bucket"), norm(col(vecCol)).as("nrm"))
-    val a = withB.select(col("bucket"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val b = withB.select(col("bucket"), col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+        norm(col(vecCol)).as("nrm"), tb.as("tb"))
+      .select(col("id"), col("v"), col("nrm"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val a = withB.select(col("tbl"), col("bucket"), col("id").as("a"), col("v").as("va"), col("nrm").as("na"))
+    val b = withB.select(col("tbl"), col("bucket"), col("id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
+    // cosine BEFORE the pair dedupe (the lshTopK rationale): a pair colliding
+    // in several tables recomputes its identical cosine ≤nTables times, but
+    // the dedupe then runs over slim (long, long, double) rows
+    a.join(b, Seq("tbl", "bucket"))
       .filter(col("a") < col("b"))
       .withColumn("cos", cosineWithNorms(col("va"), col("vb"), col("na"), col("nb")))
       .filter(col("cos") >= threshold)

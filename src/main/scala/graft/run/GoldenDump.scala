@@ -41,6 +41,17 @@ object GoldenDump {
     if (KgQueries.contains(name)) s"$GoldenKgDir/$name.parquet"
     else s"$GoldenOpsDir/$name.parquet"
 
+  /** Auxiliary pins: INPUTS to independent oracles, not query outputs —
+    * e.g. q24's per-doc simhash signatures, which DuckDB brute-force-mines
+    * into the full Hamming pair set (the signature kernel is xxhash64-based
+    * and so not SQL-expressible, but the distributed pair MINING is what the
+    * cross-engine check targets). Drift-gated in GoldenKgSpec like the
+    * query pins. */
+  val AuxPins: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("q24_simhash_sigs" -> graft.SparkEntry.simhashSigFrame)
+
+  def auxPinFile(name: String): String = s"$GoldenOpsDir/$name.parquet"
+
   /** The SF dir a pin is generated from — and the one the drift gate replays
     * at. KG queries ignore the dir (generated pages); ops queries read the
     * driver-verify tables, so their pins MUST come from sf0.01. */
@@ -58,14 +69,19 @@ object GoldenDump {
     Files.createDirectories(Paths.get(GoldenKgDir))
     Files.createDirectories(Paths.get(GoldenOpsDir))
     val only = args.toSet
-    GoldenQueries.filter(q => only.isEmpty || only.contains(q)).foreach { name =>
+    def dumpOne(name: String, df: org.apache.spark.sql.DataFrame, dest: String): Unit = {
       val tmp = Files.createTempDirectory(s"golden_$name").toString
-      graft.SparkEntry.queries(name)(spark, sfDirFor(name))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
         .findFirst().orElseThrow()
-      Files.move(part, Paths.get(goldenFile(name)), StandardCopyOption.REPLACE_EXISTING)
-      println(s"[golden] wrote ${goldenFile(name)}")
+      Files.move(part, Paths.get(dest), StandardCopyOption.REPLACE_EXISTING)
+      println(s"[golden] wrote $dest")
+    }
+    GoldenQueries.filter(q => only.isEmpty || only.contains(q)).foreach { name =>
+      dumpOne(name, graft.SparkEntry.queries(name)(spark, sfDirFor(name)), goldenFile(name))
+    }
+    AuxPins.filter { case (n, _) => only.isEmpty || only.contains(n) }.foreach {
+      case (name, f) => dumpOne(name, f(spark, "/root/testdata/sf0.01"), auxPinFile(name))
     }
     spark.stop()
   }

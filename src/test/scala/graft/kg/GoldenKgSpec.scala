@@ -24,10 +24,19 @@ class GoldenKgSpec extends AnyFunSuite {
       }.mkString("|")).groupBy(identity).map { case (k, v) => k -> v.length }
   }
 
-  for (name <- graft.run.GoldenDump.GoldenQueries)
+  private val gated: Seq[(String, () => org.apache.spark.sql.DataFrame, String)] =
+    graft.run.GoldenDump.GoldenQueries.map { name =>
+      (name,
+        () => graft.SparkEntry.queries(name)(spark, graft.run.GoldenDump.sfDirFor(name)),
+        graft.run.GoldenDump.goldenFile(name))
+    } ++ graft.run.GoldenDump.AuxPins.toSeq.map { case (name, f) =>
+      (name, () => f(spark, "/root/testdata/sf0.01"), graft.run.GoldenDump.auxPinFile(name))
+    }
+
+  for ((name, mkFresh, pin) <- gated)
     test(s"$name reproduces its golden pin") {
-      val fresh = graft.SparkEntry.queries(name)(spark, graft.run.GoldenDump.sfDirFor(name))
-      val golden = spark.read.parquet(graft.run.GoldenDump.goldenFile(name))
+      val fresh = mkFresh()
+      val golden = spark.read.parquet(pin)
       assert(fresh.schema.map(f => (f.name, f.dataType)).sortBy(_._1) ===
         golden.schema.map(f => (f.name, f.dataType)).sortBy(_._1), "schema drift")
       val f = rowCounts(fresh)

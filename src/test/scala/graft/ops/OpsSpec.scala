@@ -134,7 +134,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("simhash pairs include exact duplicates at distance 0") {
     val pairs = Dedup.simhashDupPairs(docs, maxDist = 3).collect()
-    val d0 = pairs.filter(_.getAs[Int]("dist") == 0).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d0 = pairs.filter(_.getAs[Long]("dist") == 0L).map(r => (r.getLong(0), r.getLong(1))).toSet
     for (i <- 0 until 5) assert(d0.contains((i.toLong, i + 2000L)))
   }
 
