@@ -720,6 +720,18 @@ object SparkEntry {
       graft.kg.PageRank.run(
         triples.select(col("subj").as("src"), col("obj").as("dst")), iterations = 10)
     }),
+    "q56_html_text" -> ((s, _) => {
+      // html → text extraction (the Common-Crawl-real first stage): derive
+      // the visible text from the html BYTES and prove it reproduces the
+      // page text byte-identically (matches_source must be all-true — gated
+      // in HtmlTextSpec too). Oracle: DuckDB re-runs the identical RE2 chain
+      // on the pinned pages' html — a full cross-engine extraction check.
+      val pages = graft.kg.PagesGen.pages(s, KgPages, 42L)
+      pages.toDF()
+        .withColumn("extracted", graft.kg.HtmlText.htmlToText(col("html")))
+        .select(col("url"), md5(col("extracted")).as("extracted_fp"),
+          (col("extracted") === col("text")).as("matches_source"))
+    }),
     "q53_kg_canonical" -> ((s, _) => {
       import s.implicits._
       // mentions feeds BOTH links and canonical — persist so the CRF decode
@@ -757,6 +769,8 @@ object SparkEntry {
     * plain pin read-backs this recomputes the degree aggregation in a
     * second engine (the pin's own values are gated by q52's match). */
   private val kgSql: Map[String, String] = Map(
+    "q56_html_text" -> graft.kg.HtmlText.oracleSql(
+      graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q55_kg_degrees" ->
       s"""WITH t AS (SELECT * FROM '${graft.run.GoldenDump.goldenFile("q52_kg_triples")}'),
             d AS (SELECT subj AS node, CAST(1 AS BIGINT) AS o, CAST(0 AS BIGINT) AS i FROM t

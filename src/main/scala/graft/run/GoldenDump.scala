@@ -48,7 +48,13 @@ object GoldenDump {
     * cross-engine check targets). Drift-gated in GoldenKgSpec like the
     * query pins. */
   val AuxPins: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] =
-    Map("q24_simhash_sigs" -> graft.SparkEntry.simhashSigFrame)
+    Map(
+      "q24_simhash_sigs" -> graft.SparkEntry.simhashSigFrame,
+      // q56's INPUT: the generated pages (url, html, text) — DuckDB re-runs
+      // the whole html→text extraction on the pinned html bytes
+      "q56_pages" -> ((s, _) =>
+        graft.kg.PagesGen.pages(s, 300L, 42L).toDF()
+          .select("url", "html", "text")))
 
   def auxPinFile(name: String): String = s"$GoldenOpsDir/$name.parquet"
 

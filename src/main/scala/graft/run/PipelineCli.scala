@@ -32,7 +32,8 @@ object PipelineCli {
     val spark = session(cpus)
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val r = run(spark, outRoot, nPages, seed, inputDir = opts.get("--input"))
+      val r = run(spark, outRoot, nPages, seed, inputDir = opts.get("--input"),
+        fromHtml = opts.contains("--from-html"))
       println(f"[pipeline] docs/sec=${r.docsPerSec}%.1f triples/sec=${r.triplesPerSec}%.1f " +
         f"mentionP=${r.mentionP}%.4f mentionR=${r.mentionR}%.4f triples=${r.nTriples}")
     } finally spark.stop()
@@ -45,9 +46,13 @@ object PipelineCli {
   /** Run all stages under `outRoot` (resuming completed ones).
     * `inputDir`: read an existing pages table (input_hint schema) instead of
     * generating one — the real-data ingest path; P/R is then reported as -1
-    * (no gold available). */
+    * (no gold available). `fromHtml`: derive `text` from the html BYTES
+    * ([[graft.kg.HtmlText]]) instead of trusting the input text column — the
+    * Common-Crawl-real shape; on generated pages the extraction is
+    * byte-identical, so gold P/R still applies. */
   def run(spark: SparkSession, outRoot: String, nPages: Long, seed: Long = 42L,
-          log: String => Unit = println, inputDir: Option[String] = None): Result = {
+          log: String => Unit = println, inputDir: Option[String] = None,
+          fromHtml: Boolean = false): Result = {
     import spark.implicits._
     val t0 = System.nanoTime()
 
@@ -63,8 +68,9 @@ object PipelineCli {
       }
 
     val pages = Checkpoints.stage(spark, outRoot, "pages", log) {
-      inputDir.map(d => spark.read.parquet(d))
+      val raw = inputDir.map(d => spark.read.parquet(d))
         .getOrElse(PagesGen.pages(spark, nPages, seed).toDF())
+      if (fromHtml) HtmlText.pagesFromHtml(raw.as[Page]).toDF() else raw
     }
     val sents = Checkpoints.stage(spark, outRoot, "sentences", log) {
       KgPipeline.sentences(pages.as[Page]).toDF()
