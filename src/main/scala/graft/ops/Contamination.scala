@@ -60,4 +60,21 @@ object Contamination {
           .as("contaminated_ratio"),
         (col("n_shared") > 0).as("contaminated"))
   }
+
+  /** Decontamination FILTER (the funnel-stage shape of [[report]]): survivors
+    * of `docs` that share NO word n-gram with the benchmark. Benchmark docs
+    * are NOT excluded by id here — `docs` and `benchmark` are independent
+    * tables (a funnel corpus vs an external eval suite), so no shared-id
+    * assumption. One broadcast of the (small) benchmark gram set, one
+    * distinct on hit doc_ids, one anti-join. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame, n: Int = 8,
+                    textCol: String = "text", benchTextCol: String = "text"): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(gramHashes(col(benchTextCol), n)).as("gh")).distinct()
+    val hit = docs
+      .select(col("doc_id"), explode(gramHashes(col(textCol), n)).as("gh"))
+      .join(broadcast(benchGrams), Seq("gh"), "left_semi")
+      .select(col("doc_id")).distinct()
+    docs.join(hit, Seq("doc_id"), "left_anti")
+  }
 }

@@ -14,11 +14,15 @@ import graft.ops._
   *   stats      per-doc signals: quality, language heuristic, repetition
   *   clean      gate on quality + language + repetition; PII-redact survivors
   *   dedup      exact keep-first, then MinHash-LSH near-dup prune
+  *   decontam   (with --benchmark) drop docs sharing any 8-gram with the
+  *              benchmark/eval set — the decontamination gate
+  *   lmscore    (with --min-logp) drop docs whose self-trained bigram-LM
+  *              mean log-prob is below the threshold — the perplexity gate
   *   sample     deterministic md5-bucket mixture by language
   *   report.json  funnel counts per stage
   *
   * Usage: CurateCli <outRoot> --input <documents parquet> [--cpus N]
-  *        [--quality 0.5] [--rate 0.5]
+  *        [--quality 0.5] [--rate 0.5] [--benchmark <parquet>] [--min-logp -5.0]
   */
 object CurateCli {
 
@@ -34,15 +38,25 @@ object CurateCli {
     try {
       val r = run(spark, outRoot, input,
         minQuality = opts.get("--quality").map(_.toDouble).getOrElse(0.5),
-        defaultRate = opts.get("--rate").map(_.toDouble).getOrElse(1.0))
+        defaultRate = opts.get("--rate").map(_.toDouble).getOrElse(1.0),
+        benchmarkDir = opts.get("--benchmark"),
+        minLogP = opts.get("--min-logp").map(_.toDouble))
       println(s"[curate] ${r.mkString(" ")}")
     } finally spark.stop()
   }
 
-  /** Run the curation chain; returns the funnel as "stage=count" pairs. */
+  /** Run the curation chain; returns the funnel as "stage=count" pairs.
+    * `benchmarkDir` enables the decontamination stage (docs sharing any
+    * 8-gram with the benchmark set are dropped); `minLogP` enables the
+    * perplexity gate (self-trained bigram LM over the surviving corpus;
+    * docs below the mean-log-prob threshold are dropped — gibberish that
+    * slipped the heuristic gates scores ~-ln|V| per bigram, far below
+    * in-distribution text). */
   def run(spark: SparkSession, outRoot: String, inputDir: String,
           minQuality: Double = 0.5, defaultRate: Double = 1.0,
-          log: String => Unit = println): Seq[String] = {
+          log: String => Unit = println,
+          benchmarkDir: Option[String] = None,
+          minLogP: Option[Double] = None): Seq[String] = {
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(inputDir)
     val hasLang = docs.columns.contains("lang")
@@ -80,14 +94,32 @@ object CurateCli {
       exact.join(losers, Seq("doc_id"), "left_anti")
     }
 
+    val decontam = benchmarkDir.map { bd =>
+      Checkpoints.stage(spark, outRoot, "decontam", log) {
+        Contamination.decontaminate(deduped, spark.read.parquet(bd),
+          n = 8, textCol = "clean_text")
+      }
+    }.getOrElse(deduped)
+
+    val lmGated = minLogP.map { thr =>
+      Checkpoints.stage(spark, outRoot, "lmscore", log) {
+        val scores = LmScore.meanLogProb(decontam, textCol = "clean_text")
+          .filter(col("avg_logp") >= thr).select(col("doc_id"))
+        decontam.join(scores, Seq("doc_id"), "left_semi")
+      }
+    }.getOrElse(decontam)
+
     val sampled = Checkpoints.stage(spark, outRoot, "sample", log) {
-      Sampling.stratifiedSample(deduped, "lang",
+      Sampling.stratifiedSample(lmGated, "lang",
         rates = Map.empty, defaultRate = defaultRate, textCol = "clean_text")
     }
 
     val funnel = Seq(
       "input" -> nIn, "stats" -> stats.count(), "clean" -> clean.count(),
-      "dedup" -> deduped.count(), "sample" -> sampled.count())
+      "dedup" -> deduped.count()) ++
+      benchmarkDir.map(_ => "decontam" -> decontam.count()) ++
+      minLogP.map(_ => "lmscore" -> lmGated.count()) ++
+      Seq("sample" -> sampled.count())
     val wall = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nIn / math.max(wall, 1e-9)
     // Locale.ROOT: the f-interpolator honors the JVM default locale — a

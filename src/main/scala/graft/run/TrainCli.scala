@@ -84,8 +84,11 @@ private[run] object Cli {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("-")) {
-        // value-taking option when a non-dash token follows; bare flag otherwise
-        if (i + 1 < args.length && !args(i + 1).startsWith("-")) { opts(a) = args(i + 1); i += 2 }
+        // value-taking option when a non-dash token follows — or a NEGATIVE
+        // NUMBER ("--min-logp -5.0"); bare flag otherwise
+        val hasValue = i + 1 < args.length &&
+          (!args(i + 1).startsWith("-") || args(i + 1).matches("-[0-9][0-9.eE-]*"))
+        if (hasValue) { opts(a) = args(i + 1); i += 2 }
         else { opts(a) = "true"; i += 1 }
       } else { pos += a; i += 1 }
     }

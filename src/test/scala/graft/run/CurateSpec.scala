@@ -63,6 +63,86 @@ class CurateSpec extends AnyFunSuite {
     assert(!surv.contains(900002L), "near dup must be pruned by MinHash")
   }
 
+  // ---- extended funnel: decontamination + LM perplexity gates ------------
+  // Corpus: web-page TEXT (templated sentences — bigrams repeat across
+  // pages, so a self-trained bigram LM has real signal: pages score
+  // -2.6..-1.3, unseen-bigram gibberish -4.5; the sf documents table is
+  // itself word salad and separates nothing).
+
+  /** Gibberish that PASSES the heuristic clean gates (stopword ratio ~0.5,
+    * quality 1.0, no repetition) but whose bigrams are unseen anywhere else
+    * in the corpus — the case only the perplexity gate catches. */
+  private val gibberish: String = (0 until 15).map { i =>
+    val conn = Seq("the", "of", "and", "to", "in", "is", "for", "with", "as", "at",
+      "by", "on", "that", "this", "are")(i)
+    s"$conn zqxv$i"
+  }.mkString(" ") + " ."
+
+  private lazy val extInputDir: String = {
+    val pages = graft.kg.PagesGen.pages(spark, 300L, 7L).toDF()
+      .select(regexp_extract($"url", "page/(\\d+)", 1).cast("long").as("doc_id"),
+        $"text", $"lang")
+    val dir = java.nio.file.Files.createTempDirectory("curate_ext_in").toString
+    pages.union(Seq((900003L, gibberish, "en")).toDF("doc_id", "text", "lang"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private lazy val benchmarkDir: String = {
+    // the benchmark "eval set" contains page 0's text — decontamination must
+    // drop that doc even though every heuristic gate passes it
+    val keepText = spark.read.parquet(extInputDir)
+      .filter($"doc_id" === 0L).select("text").as[String].head()
+    val dir = java.nio.file.Files.createTempDirectory("curate_bench").toString
+    Seq((1L, keepText)).toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private lazy val extOutRoot = java.nio.file.Files.createTempDirectory("curate_ext_out").toString
+  private lazy val extFunnel = CurateCli.run(spark, extOutRoot, extInputDir,
+    log = _ => (), benchmarkDir = Some(benchmarkDir), minLogP = Some(-3.5))
+
+  private def extCounts: Map[String, Long] =
+    extFunnel.map { s => val Array(k, v) = s.split("="); k -> v.toLong }.toMap
+
+  test("extended funnel: decontam and lmscore stages are monotone and materialized") {
+    val c = extCounts
+    assert(c.contains("decontam") && c.contains("lmscore"))
+    assert(c("decontam") <= c("dedup") && c("decontam") > 0)
+    assert(c("lmscore") <= c("decontam") && c("lmscore") > 0)
+    assert(c("sample") === c("lmscore"))
+    for (st <- Seq("decontam", "lmscore"))
+      assert(graft.kg.Checkpoints.isComplete(extOutRoot, st), s"stage $st")
+  }
+
+  test("decontamination drops the benchmark-contaminated doc; LM gate kills gibberish") {
+    extFunnel
+    val afterDedup = spark.read.parquet(s"$extOutRoot/dedup").select("doc_id").as[Long].collect().toSet
+    val afterDecon = spark.read.parquet(s"$extOutRoot/decontam").select("doc_id").as[Long].collect().toSet
+    val afterLm = spark.read.parquet(s"$extOutRoot/lmscore").select("doc_id").as[Long].collect().toSet
+    // page 0 survives every earlier stage, but its text IS in the benchmark —
+    // decontam must drop it on 8-gram overlap
+    assert(afterDedup.contains(0L))
+    assert(!afterDecon.contains(0L), "benchmark 8-gram overlap must drop the doc")
+    // gibberish passes every heuristic gate and decontam, dies at the LM gate
+    assert(afterDedup.contains(900003L) && afterDecon.contains(900003L),
+      "gibberish must reach the LM gate (heuristics pass it)")
+    assert(!afterLm.contains(900003L), "unseen-bigram gibberish must score below -3.5")
+  }
+
+  test("extended funnel resume: invalidating decontam reproduces identical survivors") {
+    extFunnel
+    def snap() = spark.read.parquet(s"$extOutRoot/sample")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val before = snap()
+    for (st <- Seq("decontam", "lmscore", "sample"))
+      graft.kg.Checkpoints.invalidate(extOutRoot, st)
+    val again = CurateCli.run(spark, extOutRoot, extInputDir,
+      log = _ => (), benchmarkDir = Some(benchmarkDir), minLogP = Some(-3.5))
+    assert(snap() === before)
+    assert(again === extFunnel)
+  }
+
   test("resume: invalidating a mid-chain stage reproduces identical survivors") {
     funnel
     def snap() = spark.read.parquet(s"$outRoot/sample")
