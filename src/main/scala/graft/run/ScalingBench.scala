@@ -63,11 +63,25 @@ object ScalingBench {
     (wall, cpuSec)
   }
 
+  /** One cluster measurement's full decomposition — everything the scaling
+    * artifact needs to show WHERE a wall-second went (executor CPU vs GC vs
+    * shuffle fetch vs result serialization; stall cycles show up as CPU
+    * inflation with gc/fetch/ser ≈ 0). */
+  case class ClusterSample(workers: Int, docsPerSec: Double, triplesPerSec: Double,
+                           n: Long, wall: Double, util: Double, execCpu: Double,
+                           gc: Double, fetchWait: Double, resultSer: Double) {
+    def json: String = String.format(java.util.Locale.ROOT,
+      """{"workers":%d,"wall_sec":%.2f,"docs_per_sec":%.1f,"util":%.3f,""" +
+        """"exec_cpu_sec":%.1f,"gc_sec":%.1f,"fetch_wait_sec":%.1f,"result_ser_sec":%.1f,"n_out":%d}""",
+      Int.box(workers), Double.box(wall), Double.box(docsPerSec), Double.box(util),
+      Double.box(execCpu), Double.box(gc), Double.box(fetchWait), Double.box(resultSer),
+      Long.box(n))
+  }
+
   /** One measurement on a fresh local-cluster (multi-process standalone):
-    * `workers` executor JVMs × 2 cores × own 6g heap. Returns (docs/s,
-    * triples/s, n, wall, utilization, executor CPU sec) — CPU comes from task
+    * `workers` executor JVMs × 2 cores × own 6g heap. CPU comes from task
     * metrics (executorCpuTime), since executors are separate processes. */
-  private def clusterMeasure(workers: Int, nPages: Long, stage: String): (Double, Double, Long, Double, Double, Double) = {
+  private def clusterMeasure(workers: Int, nPages: Long, stage: String): ClusterSample = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
       "java.base/java.io", "java.base/java.net", "java.base/java.nio",
@@ -132,25 +146,41 @@ object ScalingBench {
       val (d, t, n) = job(nPages)
       val wall = (System.nanoTime() - t0) / 1e9
       val util = (runTime.get() / 1000.0) / (wall * workers * 2)
-      System.err.println(f"[cluster]   breakdown workers=$workers gc=${gcTime.get() / 1000.0}%.1f s fetchWait=${fetchWait.get() / 1000.0}%.1f s resultSer=${serTime.get() / 1000.0}%.1f s")
-      (d, t, n, wall, util, cpuTime.get() / 1e9)
+      val s = ClusterSample(workers, d, t, n, wall, util, cpuTime.get() / 1e9,
+        gcTime.get() / 1000.0, fetchWait.get() / 1000.0, serTime.get() / 1000.0)
+      System.err.println(f"[cluster]   breakdown workers=$workers gc=${s.gc}%.1f s fetchWait=${s.fetchWait}%.1f s resultSer=${s.resultSer}%.1f s")
+      s
     } finally spark.stop()
   }
 
   private def clusterMain(nPages: Long, low: Int, high: Int, rounds: Int, stage: String,
-                          cooldownSec: Int): Unit = {
+                          cooldownSec: Int, jsonOut: Option[String],
+                          withControl: Boolean): Unit = {
     // release dists have no launcher/target build dirs, so the in-process
     // Worker's executor-command builder needs the scala version from the env
     // (bin/spark-submit normally injects it via load-spark-env.sh)
     require(sys.env.contains("SPARK_SCALA_VERSION"),
       "local-cluster mode: export SPARK_SCALA_VERSION=2.13 so Worker JVMs can build the executor command")
     Bench.kgModelCached // train once, untimed
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val effs = scala.collection.mutable.ListBuffer.empty[Double]
-    val samples = scala.collection.mutable.Map[Int, List[(Double, Double, Long, Double, Double, Double)]]()
-      .withDefaultValue(Nil)
+    val roundJsons = scala.collection.mutable.ListBuffer.empty[String]
+    val samples = scala.collection.mutable.Map[Int, List[ClusterSample]]().withDefaultValue(Nil)
     for (r <- 0 until rounds) {
       val order = if (r % 2 == 0) Seq(low, high) else Seq(high, low)
-      val walls = scala.collection.mutable.Map.empty[Int, Double]
+      val got = scala.collection.mutable.Map.empty[Int, ClusterSample]
+      // in-window register-resident control (zero memory traffic): if THIS
+      // control scales ~1.0 while the Spark pair does not, the wall gap is
+      // the job's; if the control itself collapses, the round's window is the
+      // host scheduler's. ~8e9 rounds ≈ 15 s at 8 threads on this box.
+      val kernelEff = if (withControl) {
+        val wallsK = Seq(low * 2, high * 2).map { th =>
+          th -> kernelControl(th, 8L * 1000 * 1000 * 1000)._1
+        }.toMap
+        val e = (wallsK(low * 2) / wallsK(high * 2)) / (high.toDouble / low)
+        System.err.println(f"[cluster] round $r kernel control eff = $e%.3f")
+        Some(e)
+      } else None
       for (w <- order) {
         // idle gap before EVERY measurement (both levels, so it is not a
         // thumb on the scale): the host's burst credits regenerate during
@@ -158,20 +188,53 @@ object ScalingBench {
         // state instead of inheriting the drain of the previous level
         if (cooldownSec > 0) Thread.sleep(cooldownSec * 1000L)
         val m = clusterMeasure(w, nPages, stage)
-        System.err.println(f"[cluster] round $r workers=$w wall=${m._4}%.1f s docs/s=${m._1}%.1f util=${m._5}%.3f execCpu=${m._6}%.1f s")
+        System.err.println(f"[cluster] round $r workers=$w wall=${m.wall}%.1f s docs/s=${m.docsPerSec}%.1f util=${m.util}%.3f execCpu=${m.execCpu}%.1f s")
         samples(w) = m :: samples(w)
-        walls(w) = m._4
+        got(w) = m
       }
-      val e = (walls(low) / walls(high)) / (high.toDouble / low)
-      System.err.println(f"[cluster] round $r paired efficiency = $e%.3f")
+      val e = (got(low).wall / got(high).wall) / (high.toDouble / low)
+      // stall-cycle signature: executor CPU for IDENTICAL work inflating at
+      // the high level with gc/fetch/ser ≈ 0 (memory-bus contention charged
+      // as CPU). cpu_ratio ≤ 1.25 = the conserved band from the round-3
+      // forensics (clean windows measured 0.94–1.07).
+      val cpuRatio = got(high).execCpu / math.max(got(low).execCpu, 1e-9)
+      System.err.println(f"[cluster] round $r paired efficiency = $e%.3f (cpu_ratio $cpuRatio%.2f)")
       effs += e
+      roundJsons += (s"""{"round":$r,"order":"${order.mkString("->")}",""" +
+        kernelEff.map(k => s""""kernel_control_eff":${num(k)},""").getOrElse("") +
+        s""""pair_eff":${num(e)},"cpu_ratio":${num(cpuRatio)},""" +
+        s""""cpu_conserved":${cpuRatio <= 1.25},""" +
+        s""""low":${got(low).json},"high":${got(high).json}}""")
     }
-    def med(w: Int) = samples(w).sortBy(_._4).apply(samples(w).length / 2)
-    val (dL, _, n1, wL, uL, cL) = med(low)
-    val (dH, _, n2, wH, uH, cH) = med(high)
-    require(n1 == n2, s"nondeterministic triple count: $n1 vs $n2")
-    val eff = effs.sorted.apply(effs.length / 2)
-    println(f"""{"cluster_scaling_efficiency":$eff%.3f,"rounds":${effs.map(e => f"$e%.3f").mkString("[", ",", "]")},"low_workers":$low,"high_workers":$high,"wall_low":$wL%.1f,"wall_high":$wH%.1f,"docs_per_sec_low":$dL%.1f,"docs_per_sec_high":$dH%.1f,"util_low":$uL%.3f,"util_high":$uH%.3f,"exec_cpu_low":$cL%.1f,"exec_cpu_high":$cH%.1f,"pages":$nPages,"stage":"$stage"}""")
+    def med(w: Int) = samples(w).sortBy(_.wall).apply(samples(w).length / 2)
+    val (mL, mH) = (med(low), med(high))
+    require(mL.n == mH.n, s"nondeterministic output count: ${mL.n} vs ${mH.n}")
+    def median(xs: Seq[Double]) =
+      if (xs.isEmpty) Double.NaN else xs.sorted.apply(xs.length / 2)
+    val eff = median(effs.toSeq)
+    // the conserved-subset median is NOT cherry-picking: every round ships in
+    // the artifact with its full decomposition, and the subset criterion
+    // (cpu_ratio ≤ 1.25) is a host-contention tag computable from the shipped
+    // numbers — it answers "what does the job scale at when the sandbox
+    // actually delivers 2×high cores", which is the cluster-transferable
+    // question (a real cluster adds a memory bus with every executor host).
+    val conserved = effs.toSeq.zip(roundJsons).filter(_._2.contains("\"cpu_conserved\":true"))
+    val effConserved = median(conserved.map(_._1))
+    val headline = s"""{"cluster_scaling_efficiency":${num(eff)},""" +
+      s""""cluster_scaling_efficiency_cpu_conserved":${if (conserved.isEmpty) "null" else num(effConserved)},""" +
+      s""""cpu_conserved_rounds":${conserved.length},"rounds":${effs.map(num).mkString("[", ",", "]")},""" +
+      s""""low_workers":$low,"high_workers":$high,""" +
+      s""""wall_low":${num(mL.wall)},"wall_high":${num(mH.wall)},""" +
+      s""""docs_per_sec_low":${num(mL.docsPerSec)},"docs_per_sec_high":${num(mH.docsPerSec)},""" +
+      s""""util_low":${num(mL.util)},"util_high":${num(mH.util)},""" +
+      s""""exec_cpu_low":${num(mL.execCpu)},"exec_cpu_high":${num(mH.execCpu)},""" +
+      s""""pages":$nPages,"stage":"$stage","cooldown_sec":$cooldownSec}"""
+    jsonOut.foreach { p =>
+      val doc = s"""{"protocol":"spark standalone local-cluster, $low vs $high worker JVMs x 2 cores x 6g private heap, paired rounds with alternating order, median of per-round paired efficiencies; cpu_ratio = high exec CPU / low exec CPU for identical work (>1.25 with gc/fetch/ser~0 = co-tenant memory-stall cycles charged as CPU, see BENCH.md)","summary":$headline,"rounds_detail":[${roundJsons.mkString(",")}]}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), doc + "\n")
+      System.err.println(s"[cluster] wrote $p")
+    }
+    println(headline)
   }
 
   def main(args: Array[String]): Unit = {
@@ -215,7 +278,9 @@ object ScalingBench {
       clusterMain(nPages,
         opts.getOrElse("--low", "1").toInt, opts.getOrElse("--high", "4").toInt,
         opts.getOrElse("--rounds", "3").toInt, opts.getOrElse("--stage", "full"),
-        opts.getOrElse("--cooldown", "0").toInt)
+        opts.getOrElse("--cooldown", "0").toInt,
+        jsonOut = opts.get("--json"),
+        withControl = opts.contains("--control"))
       return
     }
     opts.get("--measure").foreach { c =>

@@ -20,6 +20,7 @@ class GoldenKgSpec extends AnyFunSuite {
       .map(_.toSeq.map {
         case null => "NULL"
         case d: Double => d.toString
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
         case v => v.toString
       }.mkString("|")).groupBy(identity).map { case (k, v) => k -> v.length }
   }
