@@ -79,9 +79,16 @@ object ScalingBench {
   }
 
   /** One measurement on a fresh local-cluster (multi-process standalone):
-    * `workers` executor JVMs × 2 cores × own 6g heap. CPU comes from task
-    * metrics (executorCpuTime), since executors are separate processes. */
-  private def clusterMeasure(workers: Int, nPages: Long, stage: String): ClusterSample = {
+    * `workers` executor JVMs × `cores` cores × own 6g heap. CPU comes from
+    * task metrics (executorCpuTime), since executors are separate
+    * processes. `cores` controls per-executor width: 2 is the default
+    * container shape; 1 keeps the HIGH level's total thread demand inside
+    * this sandbox's deliverable-core envelope (see BENCH.md round 4 — with
+    * 8 demanding threads the shared memory bus charges co-tenant stall
+    * cycles as CPU), while still measuring what the north rule asks:
+    * executor-COUNT scaling across real JVMs. */
+  private def clusterMeasure(workers: Int, nPages: Long, stage: String,
+                             cores: Int = 2): ClusterSample = {
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke", "java.base/java.lang.reflect",
       "java.base/java.io", "java.base/java.net", "java.base/java.nio",
@@ -93,19 +100,19 @@ object ScalingBench {
       // each executor believes it owns 2 cores (like a cpuset-limited YARN/k8s
       // container), so GC/JIT thread pools are sized for the executor, not the
       // 32-vCPU host — otherwise every extra worker adds 32-thread GC pools
-      " -XX:ActiveProcessorCount=2"
+      s" -XX:ActiveProcessorCount=$cores"
     val b = org.apache.spark.sql.SparkSession.builder()
-      .master(s"local-cluster[$workers,2,7168]")
+      .master(s"local-cluster[$workers,$cores,7168]")
       .appName(s"graft-cluster-$workers")
       .config("spark.executor.memory", "6g")
-      .config("spark.executor.cores", "2")
+      .config("spark.executor.cores", cores.toString)
       .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
       .config("spark.executor.extraJavaOptions", addOpens)
-      .config("spark.sql.shuffle.partitions", (workers * 2).toString)
+      .config("spark.sql.shuffle.partitions", (workers * cores).toString)
       // 8 tasks per core: with one task per core (the default), any
       // per-task duration variance idles whole cores at the stage tail —
       // measured utilization at 4 workers was 0.82 with 8 fat tasks
-      .config("spark.default.parallelism", (workers * 2 * 8).toString)
+      .config("spark.default.parallelism", (workers * cores * 8).toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -145,7 +152,7 @@ object ScalingBench {
       val t0 = System.nanoTime()
       val (d, t, n) = job(nPages)
       val wall = (System.nanoTime() - t0) / 1e9
-      val util = (runTime.get() / 1000.0) / (wall * workers * 2)
+      val util = (runTime.get() / 1000.0) / (wall * workers * cores)
       val s = ClusterSample(workers, d, t, n, wall, util, cpuTime.get() / 1e9,
         gcTime.get() / 1000.0, fetchWait.get() / 1000.0, serTime.get() / 1000.0)
       System.err.println(f"[cluster]   breakdown workers=$workers gc=${s.gc}%.1f s fetchWait=${s.fetchWait}%.1f s resultSer=${s.resultSer}%.1f s")
@@ -153,9 +160,30 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** Control #2 of the BENCH.md forensics: the register-resident kernel as
+    * `procs` separate JVM processes × `threadsPer` threads (the cluster's
+    * process layout, zero memory traffic), against the same total work in
+    * ONE process with procs×threadsPer threads. multi/single wall ≈ 1 ⇒
+    * process count per se is not penalized by the host. */
+  def mpKernelControl(procs: Int, threadsPer: Int, totalRounds: Long): (Double, Double) = {
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val single = kernelControl(procs * threadsPer, totalRounds)._1
+    val per = totalRounds / procs
+    val t0 = System.nanoTime()
+    val ps = (0 until procs).map { _ =>
+      new ProcessBuilder(java, s"-XX:ActiveProcessorCount=$threadsPer", "-cp", cp,
+        "graft.run.ScalingBench", "--kernel-child", per.toString, "--threads",
+        threadsPer.toString).inheritIO().start()
+    }
+    ps.foreach(p => require(p.waitFor() == 0, "kernel child failed"))
+    val multi = (System.nanoTime() - t0) / 1e9
+    (single, multi)
+  }
+
   private def clusterMain(nPages: Long, low: Int, high: Int, rounds: Int, stage: String,
                           cooldownSec: Int, jsonOut: Option[String],
-                          withControl: Boolean): Unit = {
+                          withControl: Boolean, cores: Int): Unit = {
     // release dists have no launcher/target build dirs, so the in-process
     // Worker's executor-command builder needs the scala version from the env
     // (bin/spark-submit normally injects it via load-spark-env.sh)
@@ -174,10 +202,10 @@ object ScalingBench {
       // the job's; if the control itself collapses, the round's window is the
       // host scheduler's. ~8e9 rounds ≈ 15 s at 8 threads on this box.
       val kernelEff = if (withControl) {
-        val wallsK = Seq(low * 2, high * 2).map { th =>
+        val wallsK = Seq(low * cores, high * cores).map { th =>
           th -> kernelControl(th, 8L * 1000 * 1000 * 1000)._1
         }.toMap
-        val e = (wallsK(low * 2) / wallsK(high * 2)) / (high.toDouble / low)
+        val e = (wallsK(low * cores) / wallsK(high * cores)) / (high.toDouble / low)
         System.err.println(f"[cluster] round $r kernel control eff = $e%.3f")
         Some(e)
       } else None
@@ -187,7 +215,7 @@ object ScalingBench {
         // low demand, so each measurement starts from comparable credit
         // state instead of inheriting the drain of the previous level
         if (cooldownSec > 0) Thread.sleep(cooldownSec * 1000L)
-        val m = clusterMeasure(w, nPages, stage)
+        val m = clusterMeasure(w, nPages, stage, cores)
         System.err.println(f"[cluster] round $r workers=$w wall=${m.wall}%.1f s docs/s=${m.docsPerSec}%.1f util=${m.util}%.3f execCpu=${m.execCpu}%.1f s")
         samples(w) = m :: samples(w)
         got(w) = m
@@ -228,9 +256,15 @@ object ScalingBench {
       s""""docs_per_sec_low":${num(mL.docsPerSec)},"docs_per_sec_high":${num(mH.docsPerSec)},""" +
       s""""util_low":${num(mL.util)},"util_high":${num(mH.util)},""" +
       s""""exec_cpu_low":${num(mL.execCpu)},"exec_cpu_high":${num(mH.execCpu)},""" +
-      s""""pages":$nPages,"stage":"$stage","cooldown_sec":$cooldownSec}"""
+      s""""pages":$nPages,"stage":"$stage","cores_per_worker":$cores,"cooldown_sec":$cooldownSec}"""
+    // control #2, run once post-measurement: process layout vs one process
+    val mpJson = if (withControl) {
+      val (sp, mp) = mpKernelControl(high, cores, 8L * 1000 * 1000 * 1000)
+      System.err.println(f"[cluster] mp-kernel control: single-proc $sp%.1f s vs $high procs x $cores thr $mp%.1f s")
+      s""","mp_kernel_control":{"single_proc_wall":${num(sp)},"multi_proc_wall":${num(mp)},"procs":$high,"threads_per":$cores}"""
+    } else ""
     jsonOut.foreach { p =>
-      val doc = s"""{"protocol":"spark standalone local-cluster, $low vs $high worker JVMs x 2 cores x 6g private heap, paired rounds with alternating order, median of per-round paired efficiencies; cpu_ratio = high exec CPU / low exec CPU for identical work (>1.25 with gc/fetch/ser~0 = co-tenant memory-stall cycles charged as CPU, see BENCH.md)","summary":$headline,"rounds_detail":[${roundJsons.mkString(",")}]}"""
+      val doc = s"""{"protocol":"spark standalone local-cluster, $low vs $high worker JVMs x $cores cores x 6g private heap, paired rounds with alternating order, median of per-round paired efficiencies; cpu_ratio = high exec CPU / low exec CPU for identical work (>1.25 with gc/fetch/ser~0 = co-tenant memory-stall cycles charged as CPU, see BENCH.md)","summary":$headline$mpJson,"rounds_detail":[${roundJsons.mkString(",")}]}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), doc + "\n")
       System.err.println(s"[cluster] wrote $p")
     }
@@ -240,6 +274,11 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val (opts, _) = Cli.parse(args)
     val nPages = opts.get("-p").orElse(opts.get("--pages")).map(_.toLong).getOrElse(20000L)
+    opts.get("--kernel-child").foreach { n =>
+      // child of mpKernelControl: run the register-resident kernel and exit
+      kernelControl(opts.getOrElse("--threads", "2").toInt, n.toLong)
+      return
+    }
     opts.get("--kernel").foreach { spec =>
       // --kernel totalRounds --low N --high M --rounds R: interleaved paired
       // raw-kernel control, same protocol as the Spark runs
@@ -280,7 +319,8 @@ object ScalingBench {
         opts.getOrElse("--rounds", "3").toInt, opts.getOrElse("--stage", "full"),
         opts.getOrElse("--cooldown", "0").toInt,
         jsonOut = opts.get("--json"),
-        withControl = opts.contains("--control"))
+        withControl = opts.contains("--control"),
+        cores = opts.getOrElse("--cores", "2").toInt)
       return
     }
     opts.get("--measure").foreach { c =>
