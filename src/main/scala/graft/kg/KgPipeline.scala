@@ -66,9 +66,10 @@ object KgPipeline {
       else sents.repartition(p, pmod(xxhash64($"url"), lit(p)))
     distributed
       .mapPartitions { iter =>
-        // one decoder per partition: per-(slot, token) contribution cache
-        // (Zipfian hit rates) — no per-row model or cache setup
-        val decoder = new graft.crf.CrfDecoder(bc.value)
+        // per-thread decoder reused across partitions (CrfDecoder.forModel):
+        // the (slot, token) contribution cache (Zipfian hit rates) warms
+        // once per executor core instead of once per partition
+        val decoder = graft.crf.CrfDecoder.forModel(bc.value)
         val pid = org.apache.spark.TaskContext.getPartitionId()
         iter.flatMap { s =>
           sentCounter.add(1)

@@ -100,7 +100,13 @@ object ScalingBench {
       // each executor believes it owns 2 cores (like a cpuset-limited YARN/k8s
       // container), so GC/JIT thread pools are sized for the executor, not the
       // 32-vCPU host — otherwise every extra worker adds 32-thread GC pools
-      s" -XX:ActiveProcessorCount=$cores"
+      s" -XX:ActiveProcessorCount=$cores" +
+      // standard production executor sizing (-Xms = -Xmx): without it the
+      // JVM keeps committed heap ~2g and young GCs run constantly; measured
+      // 155 → 50 young GCs per executor on the full-pipeline probe
+      " -Xms6g" +
+      // experiment hook: extra executor JVM flags (GC logging, GC choice)
+      sys.env.get("SPARK_GRAFT_EXEC_OPTS").map(" " + _).getOrElse("")
     val b = org.apache.spark.sql.SparkSession.builder()
       .master(s"local-cluster[$workers,$cores,7168]")
       .appName(s"graft-cluster-$workers")
@@ -117,6 +123,9 @@ object ScalingBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").foreach(d => b.config("spark.local.dir", d))
+    // experiment hook: extra spark confs, "k=v,k=v" (e.g. off-heap memory)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(',').filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
     // a previous measurement's stopped session must not be resurrected by
     // getOrCreate (it caches the default session across stop())
     org.apache.spark.sql.SparkSession.clearActiveSession()
@@ -192,6 +201,7 @@ object ScalingBench {
     Bench.kgModelCached // train once, untimed
     def num(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val effs = scala.collection.mutable.ListBuffer.empty[Double]
+    val effsExGc = scala.collection.mutable.ListBuffer.empty[Double]
     val roundJsons = scala.collection.mutable.ListBuffer.empty[String]
     val samples = scala.collection.mutable.Map[Int, List[ClusterSample]]().withDefaultValue(Nil)
     for (r <- 0 until rounds) {
@@ -221,6 +231,16 @@ object ScalingBench {
         got(w) = m
       }
       val e = (got(low).wall / got(high).wall) / (high.toDouble / low)
+      // GC-stall-excluded efficiency: per-executor GC pause wall (gc_sec is
+      // summed across executors; pauses stop the executor's task threads, so
+      // wall − gc/workers is the wall the job would have with the low
+      // level's GC profile). The 4-worker GC inflation is a measured host
+      // artifact: identical heap transitions take 0.8 s solo and 17–42 s
+      // with 4 co-tenant JVMs collecting in lockstep on the shared throttled
+      // bus (see BENCH.md round-4 forensics) — a real cluster has one memory
+      // bus per executor host.
+      def exGc(s: ClusterSample) = s.wall - s.gc / s.workers
+      val eExGc = (exGc(got(low)) / exGc(got(high))) / (high.toDouble / low)
       // stall-cycle signature: executor CPU for IDENTICAL work inflating at
       // the high level with gc/fetch/ser ≈ 0 (memory-bus contention charged
       // as CPU). cpu_ratio ≤ 1.25 = the conserved band from the round-3
@@ -228,9 +248,10 @@ object ScalingBench {
       val cpuRatio = got(high).execCpu / math.max(got(low).execCpu, 1e-9)
       System.err.println(f"[cluster] round $r paired efficiency = $e%.3f (cpu_ratio $cpuRatio%.2f)")
       effs += e
+      effsExGc += eExGc
       roundJsons += (s"""{"round":$r,"order":"${order.mkString("->")}",""" +
         kernelEff.map(k => s""""kernel_control_eff":${num(k)},""").getOrElse("") +
-        s""""pair_eff":${num(e)},"cpu_ratio":${num(cpuRatio)},""" +
+        s""""pair_eff":${num(e)},"pair_eff_ex_gc":${num(eExGc)},"cpu_ratio":${num(cpuRatio)},""" +
         s""""cpu_conserved":${cpuRatio <= 1.25},""" +
         s""""low":${got(low).json},"high":${got(high).json}}""")
     }
@@ -250,6 +271,7 @@ object ScalingBench {
     val effConserved = median(conserved.map(_._1))
     val headline = s"""{"cluster_scaling_efficiency":${num(eff)},""" +
       s""""cluster_scaling_efficiency_cpu_conserved":${if (conserved.isEmpty) "null" else num(effConserved)},""" +
+      s""""cluster_scaling_efficiency_ex_gc":${num(median(effsExGc.toSeq))},""" +
       s""""cpu_conserved_rounds":${conserved.length},"rounds":${effs.map(num).mkString("[", ",", "]")},""" +
       s""""low_workers":$low,"high_workers":$high,""" +
       s""""wall_low":${num(mL.wall)},"wall_high":${num(mH.wall)},""" +
@@ -277,6 +299,22 @@ object ScalingBench {
     opts.get("--kernel-child").foreach { n =>
       // child of mpKernelControl: run the register-resident kernel and exit
       kernelControl(opts.getOrElse("--threads", "2").toInt, n.toLong)
+      return
+    }
+    opts.get("--mp-kernel").foreach { spec =>
+      // standalone control #2: "--mp-kernel <procs>x<threadsPer>"
+      val Array(p, t) = spec.split("x").map(_.toInt)
+      val (sp, mp) = mpKernelControl(p, t, opts.getOrElse("--rounds-total", "8000000000").toLong)
+      println(f"""{"mp_kernel_control":{"single_proc_wall":$sp%.3f,"multi_proc_wall":$mp%.3f,"procs":$p,"threads_per":$t}}""")
+      return
+    }
+    opts.get("--probe").foreach { w =>
+      // one clusterMeasure at the given worker count — for targeted
+      // decomposition experiments (pair with SPARK_GRAFT_EXEC_OPTS)
+      Bench.kgModelCached
+      val m = clusterMeasure(w.toInt, nPages, opts.getOrElse("--stage", "full"),
+        opts.getOrElse("--cores", "2").toInt)
+      println(m.json)
       return
     }
     opts.get("--kernel").foreach { spec =>

@@ -35,8 +35,10 @@ object StreamingMentions {
     import spark.implicits._
     val withTs = pages.withWatermark("warc_ts", "30 minutes")
     val mentions = withTs.as[Page].flatMap { p =>
-      // inline decode keeps the event-time column attached to each mention
-      val decoder = new graft.crf.CrfDecoder(model)
+      // inline decode keeps the event-time column attached to each mention;
+      // forModel reuses the warmed decoder across rows AND micro-batches on
+      // the same task thread (keyed on the task's deserialized model)
+      val decoder = graft.crf.CrfDecoder.forModel(model)
       if (p.lang != "en") Iterator.empty
       else p.text.split('\n').iterator.flatMap(s => decoder.process(s))
         .map(sp => (p.warc_ts, sp.entity))

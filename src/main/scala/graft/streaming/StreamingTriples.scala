@@ -43,7 +43,7 @@ object StreamingTriples {
     // COLUMN filter, not a typed lambda: pushes to the source and avoids
     // deserializing non-English rows (incl. the html bytes) per micro-batch
     pages.filter(col("lang") === "en").as[Page].mapPartitions { iter =>
-      val decoder = new graft.crf.CrfDecoder(bcModel.value)
+      val decoder = graft.crf.CrfDecoder.forModel(bcModel.value)
       val alias = bcAlias.value
       val compiled = graft.kg.PageLocal.compilePatterns()
       iter.flatMap { page =>
