@@ -36,6 +36,28 @@ object SparkEntry {
     d.union(d.select(col("doc_id") + 1000000, concat(col("text"), lit(" extratoken"))))
   }
 
+  /** [[docsWithDups]] re-materialized as MULTI-LINE text: the word-salad docs
+    * carry no newlines, so line-level operators get a deterministic
+    * 8-words-per-line layout (the near-dup copies then share every full line
+    * with their original — real cross-doc duplicate lines). Built from the
+    * canonical tokenization and mirrored exactly by [[linesDocsSql]]. */
+  private def docsWithLines(spark: SparkSession, dir: String): DataFrame = {
+    val w = graft.ops.TextStats.words(col("text"))
+    val nChunks = greatest(lit(1L), ceil(size(w) / lit(8.0)).cast("long"))
+    docsWithDups(spark, dir).select(col("doc_id"),
+      array_join(transform(sequence(lit(0L), nChunks - 1),
+        i => array_join(slice(w, (i * 8 + 1).cast("int"), lit(8)), " ")), "\n").as("text"))
+  }
+
+  /** SQL mirror of [[docsWithLines]] (q58). */
+  private def linesDocsSql: String =
+    s"""SELECT doc_id, array_to_string(
+          [array_to_string(t[i*8+1 : i*8+8], ' ')
+           for i in range(0, greatest(1, CAST(ceil(len(t) / 8.0) AS BIGINT)))],
+          chr(10)) AS text
+        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+              FROM ($dupsUnionSql))"""
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
@@ -269,6 +291,7 @@ object SparkEntry {
     "q28_dedup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.jaccardPairs(docsWithDups(s, dir), threshold = 0.8, n = 3, maxDf = 2000))),
     "q29_span_dedup" -> ((s, dir) => Dedup.spanDedup(t(s, dir, "documents"))),
+    "q58_line_dedup" -> ((s, dir) => Dedup.lineDedup(docsWithLines(s, dir))),
     "q34_pii_scrub" -> ((s, dir) => graft.ops.Scrub.scrub(docsWithPii(s, dir))),
     "q35_corpus_clean" -> ((s, dir) => {
       // PII'd docs ∪ an exact copy of every 10th (id-shifted): the clean
@@ -417,6 +440,24 @@ object SparkEntry {
              / len(regexp_split_to_array(trim(text), '\s+'))) BETWEEN 2.0 AND 12.0 THEN 0.1 ELSE 0.0 END), 2)"""
 
   private val opsSql: Map[String, String] = Map(
+    // C4-style line dedup WITH reconstruction: DuckDB keeps first occurrence
+    // by line TEXT where the Spark plan groups on the 8-byte xxhash64 of the
+    // line — identical absent a 64-bit collision (oracle-visible), and the
+    // rebuilt-document fingerprint cross-checks the reconstruction order
+    "q58_line_dedup" ->
+      s"""WITH ld AS ($linesDocsSql),
+            ls AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM ld),
+            lines AS (SELECT doc_id, unnest(arr) AS line,
+                      unnest(range(0, len(arr))) AS line_idx FROM ls),
+            fk AS (SELECT doc_id, line_idx, line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+                   FROM lines)
+         SELECT doc_id, count(*) AS n_lines,
+                CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_lines,
+                round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS dup_ratio,
+                md5(coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+                    ORDER BY line_idx), '')) AS clean_fp
+         FROM fk GROUP BY doc_id""",
     "q48_quality_mixture" ->
       s"""WITH q AS (SELECT doc_id, text,
               CAST(round($qualityScoreSql * 10, 0) AS BIGINT) AS band FROM documents),
@@ -732,6 +773,16 @@ object SparkEntry {
         .select(col("url"), md5(col("extracted")).as("extracted_fp"),
           (col("extracted") === col("text")).as("matches_source"))
     }),
+    "q57_kg_cooccur" -> ((s, _) => {
+      // sentence-level entity co-occurrence + NPMI over the live pipeline;
+      // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
+      // DuckDB — a cross-engine value check of the whole aggregation (the
+      // pin's own values are gated by q51's match), same pattern as q55
+      import s.implicits._
+      val links = graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
+        graft.kg.KgPipeline.aliasDf(s))
+      graft.kg.KgPipeline.cooccurrence(links)
+    }),
     "q53_kg_canonical" -> ((s, _) => {
       import s.implicits._
       // mentions feeds BOTH links and canonical — persist so the CRF decode
@@ -765,12 +816,116 @@ object SparkEntry {
         name -> s"SELECT * FROM '${graft.run.GoldenDump.goldenFile(name)}'"
       }.toMap
 
+  /** The q54 oracle: DuckDB re-runs the ENTIRE fixed-point PageRank from
+    * the q52 triples pin — the update rule is pure Long arithmetic
+    * (`rank*85 div (100*deg)`, floor division, damping as the rational
+    * 85/100), so the ten unrolled iterations reproduce the Spark ranks
+    * BIT-identically in a second engine; `//` is DuckDB's integer floor
+    * division (positive operands ⇒ same as JVM `div`). The pin stays only
+    * as GoldenKgSpec's test-side drift gate. */
+  private def pagerankOracleSql(pin: String, iterations: Int): String = {
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (SELECT e.dst AS node,
+                 CAST(sum(r.rank_fp * 85 // (100 * e.deg)) AS BIGINT) AS inflow
+                 FROM e JOIN r${k - 1} r ON r.node = e.src GROUP BY e.dst),
+          r$k AS (SELECT n.node,
+                 (SELECT base FROM params) + coalesce(c.inflow, 0) AS rank_fp
+                 FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
+    }.mkString(",\n          ")
+    s"""WITH t AS (SELECT * FROM '$pin'),
+          e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+          deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+          e AS (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN deg d ON d.src = e0.src),
+          nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+          params AS (SELECT 1000000000000 // count(*) AS init,
+                     (1000000000000 // count(*)) * 15 // 100 AS base FROM nodes),
+          r0 AS (SELECT node, (SELECT init FROM params) AS rank_fp FROM nodes),
+          $iters
+       SELECT node, CAST(rank_fp AS BIGINT) AS rank_fp,
+              CAST(rank_fp AS DOUBLE) / 1000000000000.0 AS rank
+       FROM r$iterations"""
+  }
+
+  /** The q53 oracle: DuckDB recomputes the WHOLE canonicalization from the
+    * q50/q51 pins — surface aggregation, first-token blocking with the 1000
+    * cap, char-3-gram Jaccard ≥ 0.5 candidate pairs, link edges, and the
+    * connected-components closure as a recursive CTE (the q28 pattern) with
+    * min-node labels. Cross-engine check of the full stage; the pins stay
+    * as drift gates. */
+  private def canonicalOracleSql(mentionsPin: String, linksPin: String): String = {
+    // grams: substr(i, 3) for i in 1..max(len-2, 1) — short strings gram to
+    // themselves, exactly like KgPipeline.jaccard3
+    def grams(c: String) =
+      s"list_distinct([$c[i : i+2] for i in range(1, greatest(length($c)-2, 1) + 1)])"
+    s"""WITH RECURSIVE men AS (SELECT * FROM '$mentionsPin'),
+          lnk AS (SELECT * FROM '$linksPin'),
+          surfaces AS (SELECT entity, lower(value) AS surface, count(*) AS n_mentions
+                       FROM men GROUP BY 1, 2),
+          snode AS (SELECT entity, surface, n_mentions,
+                    entity || ':' || surface AS node,
+                    entity || ':' || string_split(surface, ' ')[1] AS block
+                    FROM surfaces),
+          binfo AS (SELECT block, count(*) AS bn FROM snode GROUP BY block),
+          cand AS (SELECT a.node AS node_a, b.node AS node_b,
+                          ${grams("a.surface")} AS ga, ${grams("b.surface")} AS gb
+                   FROM snode a
+                   JOIN snode b ON a.block = b.block AND a.node < b.node
+                   JOIN binfo bi ON bi.block = a.block AND bi.bn BETWEEN 2 AND 1000),
+          simpairs AS (SELECT node_a, node_b FROM cand
+                       WHERE len(list_distinct(list_concat(ga, gb))) > 0
+                         AND len(list_intersect(ga, gb)) * 1.0
+                             / len(list_distinct(list_concat(ga, gb))) >= 0.5),
+          linkedges AS (SELECT DISTINCT entity || ':' || lower(value) AS node_a,
+                        'ID:' || entity_id AS node_b FROM lnk),
+          allnodes AS (SELECT node FROM snode UNION SELECT node_a FROM linkedges
+                       UNION SELECT node_b FROM linkedges),
+          e AS (SELECT node_a AS a, node_b AS b FROM simpairs
+                UNION SELECT node_b, node_a FROM simpairs
+                UNION SELECT node_a, node_b FROM linkedges
+                UNION SELECT node_b, node_a FROM linkedges),
+          reach(node, lbl) AS (SELECT node, node FROM allnodes
+                UNION SELECT e.a, r.lbl FROM e JOIN reach r ON r.node = e.b),
+          cc AS (SELECT node, 'C:' || min(lbl) AS canon_id FROM reach GROUP BY node)
+       SELECT s.entity, s.surface, CAST(s.n_mentions AS BIGINT) AS n_mentions,
+              cc.canon_id
+       FROM snode s JOIN cc ON cc.node = s.node"""
+  }
+
   /** q55's oracle aggregates the q52 triples PIN in DuckDB — unlike the
     * plain pin read-backs this recomputes the degree aggregation in a
-    * second engine (the pin's own values are gated by q52's match). */
+    * second engine (the pin's own values are gated by q52's match). q53/q54
+    * get full cross-engine recomputations (see the helpers above); their
+    * entries here OVERRIDE the goldenPinSql read-backs (map merge order). */
   private val kgSql: Map[String, String] = Map(
+    "q54_kg_pagerank" -> pagerankOracleSql(
+      graft.run.GoldenDump.goldenFile("q52_kg_triples"), iterations = 10),
+    "q53_kg_canonical" -> canonicalOracleSql(
+      graft.run.GoldenDump.goldenFile("q50_kg_mentions"),
+      graft.run.GoldenDump.goldenFile("q51_kg_links")),
     "q56_html_text" -> graft.kg.HtmlText.oracleSql(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
+    "q57_kg_cooccur" ->
+      s"""WITH l AS (SELECT DISTINCT url, sent_id, entity_id
+                     FROM '${graft.run.GoldenDump.goldenFile("q51_kg_links")}'),
+            tot AS (SELECT count(*) AS n_total
+                    FROM (SELECT DISTINCT url, sent_id FROM l)),
+            m AS (SELECT entity_id, count(*) AS n FROM l GROUP BY entity_id),
+            p AS (SELECT a.url, a.entity_id AS entity_a, b.entity_id AS entity_b
+                  FROM l a JOIN l b
+                    ON a.url = b.url AND a.sent_id = b.sent_id
+                   AND a.entity_id < b.entity_id),
+            pc AS (SELECT entity_a, entity_b, count(*) AS n_sents,
+                          count(DISTINCT url) AS n_urls
+                   FROM p GROUP BY 1, 2)
+         SELECT pc.entity_a, pc.entity_b,
+                CAST(pc.n_sents AS BIGINT) AS n_sents,
+                CAST(pc.n_urls AS BIGINT) AS n_urls,
+                round(CASE WHEN pc.n_sents = t.n_total THEN 1.0
+                      ELSE ln(pc.n_sents * 1.0 * t.n_total / (ma.n * mb.n))
+                           / (-ln(pc.n_sents * 1.0 / t.n_total)) END, 4) AS npmi
+         FROM pc
+         JOIN m ma ON ma.entity_id = pc.entity_a
+         JOIN m mb ON mb.entity_id = pc.entity_b, tot t""",
     "q55_kg_degrees" ->
       s"""WITH t AS (SELECT * FROM '${graft.run.GoldenDump.goldenFile("q52_kg_triples")}'),
             d AS (SELECT subj AS node, CAST(1 AS BIGINT) AS o, CAST(0 AS BIGINT) AS i FROM t

@@ -278,6 +278,62 @@ object KgPipeline {
     flatten(transform(ms, (m1, i) =>
       transform(slice(ms, i + 2, lit(1000000)), m2 => struct(m1.as("_1"), m2.as("_2")))))
 
+  // ------------------------------------------------------------ co-occurrence
+  /** Sentence-level entity co-occurrence graph with NPMI association — the
+    * classic "which entities appear together" KG edge complement to the
+    * pattern-matched [[triples]].
+    *
+    * Shape: ONE aggregation per (url, sent_id) collects the DISTINCT linked
+    * entity ids of the sentence (`collect_set` + `sort_array` — bounded,
+    * a sentence holds ≤ a handful of entities, and sorted so the pair
+    * expansion is deterministic at any parallelism). Pairs expand MAP-SIDE
+    * with the same built-in combination expression as `triples` (no
+    * self-join — the quadratic fan-out never crosses an exchange), and pair
+    * counts aggregate in two map-side-combinable phases: per (a, b, url)
+    * first, then per (a, b) — which yields an EXACT distinct-url count
+    * without `countDistinct`'s Expand doubling the shuffled rows. Entity
+    * marginals and the sentence total are dictionary-sized → broadcast;
+    * nothing in the plan shuffles more than the slim per-sentence sets.
+    *
+    * npmi = ln(p(a,b) / (p(a)·p(b))) / −ln p(a,b) over the universe of
+    * entity-bearing sentences, with the p(a,b) = 1 singularity pinned to
+    * 1.0. Counts are exact Longs, so the double is reproducible at any
+    * parallelism; emitted `round(·, 4)`. */
+  def cooccurrence(links: DataFrame): DataFrame = {
+    val spark = links.sparkSession
+    import spark.implicits._
+    // `links` leaves its stage hash-partitioned on (url, sent_id) — this
+    // groupBy reuses that distribution (no new exchange). Referenced three
+    // times below (pairs, marginals, total) → persist, or each reference
+    // re-inlines the upstream CRF decode (the round-2 q53 lesson).
+    val perSent = links.groupBy($"url", $"sent_id")
+      .agg(sort_array(collect_set($"entity_id")).as("ents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val pairs = perSent.filter(size($"ents") >= 2)
+      .select($"url", explode(pairCombos($"ents")).as("p"))
+      .select($"url", $"p._1".as("entity_a"), $"p._2".as("entity_b"))
+    val pairCounts = pairs
+      .groupBy($"entity_a", $"entity_b", $"url").agg(count(lit(1)).as("c"))
+      .groupBy($"entity_a", $"entity_b")
+      .agg(sum($"c").as("n_sents"), count(lit(1)).as("n_urls"))
+
+    val marg = perSent.select(explode($"ents").as("entity_id"))
+      .groupBy($"entity_id").agg(count(lit(1)).as("n"))
+    val total = perSent.agg(count(lit(1)).as("n_total"))
+
+    pairCounts
+      .join(broadcast(marg.select($"entity_id".as("entity_a"), $"n".as("n_a"))), "entity_a")
+      .join(broadcast(marg.select($"entity_id".as("entity_b"), $"n".as("n_b"))), "entity_b")
+      .crossJoin(broadcast(total))
+      .select($"entity_a", $"entity_b", $"n_sents", $"n_urls",
+        round(when($"n_sents" === $"n_total", lit(1.0)).otherwise(
+          // marginals cast to double BEFORE the product: n_a·n_b as Long×Long
+          // overflows past ~3e9 sentences per entity
+          log($"n_sents".cast("double") * $"n_total" / ($"n_a".cast("double") * $"n_b")) /
+            -log($"n_sents".cast("double") / $"n_total")), 4).as("npmi"))
+  }
+
   // ------------------------------------------------------------- domain stats
   /** Per-domain page/mention counts with EXPLICIT skew salting: hot domains
     * (the generator plants two at ~20% each) would make a plain

@@ -228,6 +228,61 @@ object Dedup {
         round(col("n_dup_spans").cast("double") / col("n_spans").cast("double"), 4))
   }
 
+  // ----------------------------------------------------------- line dedup
+  /** C4-style line-level dedup WITH text reconstruction: split each document
+    * on newlines, keep only the corpus-wide FIRST occurrence of every line
+    * (minimum (id, line_idx) — deterministic at any parallelism), and emit
+    * per-doc (id, n_lines, n_dup_lines, dup_ratio, clean_fp) where clean_fp
+    * fingerprints the document rebuilt from its kept lines in original
+    * order. This is the C4 "discard repeated lines across the corpus" pass
+    * (boilerplate nav/footer/legal lines), distinct from [[spanDedup]] which
+    * only SCORES token-window duplication.
+    *
+    * Scale: the keep-first decision groups on the 8-byte xxhash64 of the
+    * line, but unlike spanDedup the shuffled row must carry the line text
+    * once — reconstruction needs it back. One wide exchange over lines
+    * (≈ line bytes + 20), then a map-side-combined aggregate back to docs.
+    * A doc whose every line is a duplicate reconstructs as the empty string
+    * (clean_fp = md5("")). */
+  private def lineKeepFirst(docs: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docs.select(col(idCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+    // grouping key is the 64-bit line hash — identical grouping to the text
+    // itself absent a 64-bit collision (an oracle-visible event)
+    val w = Window.partitionBy(xxhash64(col("line")))
+      .orderBy(col(idCol), col("line_idx"))
+    lines.withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_lines"),
+        // collect_list skips the nulls (dropped dup lines); struct sort is
+        // by line_idx first, so the rebuilt text is in original order at
+        // any parallelism
+        array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1,
+            struct(col("line_idx"), col("line"))))),
+          s => s.getField("line")), "\n").as("clean_text"))
+  }
+
+  def lineDedup(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    lineKeepFirst(docs, idCol, textCol)
+      .withColumn("dup_ratio",
+        round(col("n_dup_lines").cast("double") / col("n_lines").cast("double"), 4))
+      .select(col(idCol), col("n_lines"), col("n_dup_lines"),
+        col("dup_ratio"), md5(col("clean_text")).as("clean_fp"))
+
+  /** The rewrite form of [[lineDedup]] for the curation funnel: per-doc
+    * (id, clean_text, n_lines, n_dup_lines) with `clean_text` the document
+    * rebuilt from its surviving lines — a doc whose every line was seen
+    * earlier rebuilds as "" (the caller decides whether to drop it). */
+  def lineDedupRewrite(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame =
+    lineKeepFirst(docs, idCol, textCol)
+      .select(col(idCol), col("clean_text"), col("n_lines"), col("n_dup_lines"))
+
   // --------------------------------------------------------------- SimHash
   /** 64-bit SimHash over word-unigram hashes, as an array<int> of bits (MSB
     * first): per bit, sign of the sum of ±1 votes. Native kernel

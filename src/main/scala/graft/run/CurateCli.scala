@@ -14,6 +14,9 @@ import graft.ops._
   *   stats      per-doc signals: quality, language heuristic, repetition
   *   clean      gate on quality + language + repetition; PII-redact survivors
   *   dedup      exact keep-first, then MinHash-LSH near-dup prune
+  *   linededup  (with --line-dedup) C4-style corpus-wide line dedup: each
+  *              surviving doc is rewritten to its corpus-first lines;
+  *              all-boilerplate docs (empty rebuild) are dropped
   *   decontam   (with --benchmark) drop docs sharing any 8-gram with the
   *              benchmark/eval set — the decontamination gate
   *   lmscore    (with --min-logp) drop docs whose self-trained bigram-LM
@@ -22,7 +25,8 @@ import graft.ops._
   *   report.json  funnel counts per stage
   *
   * Usage: CurateCli <outRoot> --input <documents parquet> [--cpus N]
-  *        [--quality 0.5] [--rate 0.5] [--benchmark <parquet>] [--min-logp -5.0]
+  *        [--quality 0.5] [--rate 0.5] [--line-dedup]
+  *        [--benchmark <parquet>] [--min-logp -5.0]
   */
 object CurateCli {
 
@@ -40,7 +44,8 @@ object CurateCli {
         minQuality = opts.get("--quality").map(_.toDouble).getOrElse(0.5),
         defaultRate = opts.get("--rate").map(_.toDouble).getOrElse(1.0),
         benchmarkDir = opts.get("--benchmark"),
-        minLogP = opts.get("--min-logp").map(_.toDouble))
+        minLogP = opts.get("--min-logp").map(_.toDouble),
+        lineDedup = opts.contains("--line-dedup"))
       println(s"[curate] ${r.mkString(" ")}")
     } finally spark.stop()
   }
@@ -56,7 +61,8 @@ object CurateCli {
           minQuality: Double = 0.5, defaultRate: Double = 1.0,
           log: String => Unit = println,
           benchmarkDir: Option[String] = None,
-          minLogP: Option[Double] = None): Seq[String] = {
+          minLogP: Option[Double] = None,
+          lineDedup: Boolean = false): Seq[String] = {
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(inputDir)
     val hasLang = docs.columns.contains("lang")
@@ -94,12 +100,26 @@ object CurateCli {
       exact.join(losers, Seq("doc_id"), "left_anti")
     }
 
+    val lineDeduped = if (lineDedup) {
+      Checkpoints.stage(spark, outRoot, "linededup", log) {
+        // rewrite each survivor to its corpus-first lines; the n_tokens /
+        // fingerprint signals computed upstream describe the PRE-rewrite
+        // text (they fed the gates/dedup that already ran). Docs whose
+        // every line was boilerplate rebuild empty and are dropped.
+        val rw = Dedup.lineDedupRewrite(
+          deduped.select(col("doc_id"), col("clean_text").as("text")))
+        deduped.drop("clean_text")
+          .join(rw.select(col("doc_id"), col("clean_text")), Seq("doc_id"))
+          .filter(length(col("clean_text")) > 0)
+      }
+    } else deduped
+
     val decontam = benchmarkDir.map { bd =>
       Checkpoints.stage(spark, outRoot, "decontam", log) {
-        Contamination.decontaminate(deduped, spark.read.parquet(bd),
+        Contamination.decontaminate(lineDeduped, spark.read.parquet(bd),
           n = 8, textCol = "clean_text")
       }
-    }.getOrElse(deduped)
+    }.getOrElse(lineDeduped)
 
     val lmGated = minLogP.map { thr =>
       Checkpoints.stage(spark, outRoot, "lmscore", log) {
@@ -117,6 +137,7 @@ object CurateCli {
     val funnel = Seq(
       "input" -> nIn, "stats" -> stats.count(), "clean" -> clean.count(),
       "dedup" -> deduped.count()) ++
+      (if (lineDedup) Seq("linededup" -> lineDeduped.count()) else Nil) ++
       benchmarkDir.map(_ => "decontam" -> decontam.count()) ++
       minLogP.map(_ => "lmscore" -> lmGated.count()) ++
       Seq("sample" -> sampled.count())

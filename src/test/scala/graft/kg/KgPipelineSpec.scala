@@ -84,4 +84,42 @@ class KgPipelineSpec extends AnyFunSuite {
     val grouped = canonical.groupBy("canon_id").count()
     assert(grouped.filter(col("count") > 1).count() > 0)
   }
+
+  test("cooccurrence: pair counts, distinct urls, NPMI vs hand computation") {
+    import spark.implicits._
+    // 4 entity-bearing sentences; within-sentence repeats must collapse
+    val links = Seq(
+      ("u1", 0, 0, "A"), ("u1", 0, 5, "B"), ("u1", 0, 9, "A"), // {A,B}
+      ("u1", 1, 0, "A"), ("u1", 1, 3, "C"),                    // {A,C}
+      ("u2", 0, 0, "A"), ("u2", 0, 4, "B"),                    // {A,B}
+      ("u2", 1, 0, "C")                                        // {C} — no pair
+    ).toDF("url", "sent_id", "start", "entity_id")
+    val got = KgPipeline.cooccurrence(links).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.size === 2)
+    def npmi(nab: Long, na: Long, nb: Long, tot: Long): Double =
+      BigDecimal(math.log(nab.toDouble * tot / (na * nb)) / -math.log(nab.toDouble / tot))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // marginals: A=3, B=2, C=2 of 4 sentences
+    assert(got(("A", "B")) === ((2L, 2L, npmi(2, 3, 2, 4))))
+    assert(got(("A", "C")) === ((1L, 1L, npmi(1, 3, 2, 4))))
+  }
+
+  test("cooccurrence: p(a,b)=1 singularity pins npmi to 1.0, parallelism-invariant") {
+    import spark.implicits._
+    val links = Seq(("u1", 0, 0, "X"), ("u1", 0, 4, "Y"))
+      .toDF("url", "sent_id", "start", "entity_id")
+    val r = KgPipeline.cooccurrence(links).collect()
+    assert(r.length === 1 && r.head.getDouble(4) === 1.0)
+    val base = Seq.tabulate(60) { i =>
+      (s"u${i % 7}", i % 5, i, s"E${i % 6}")
+    } ++ Seq.tabulate(60)(i => (s"u${i % 7}", i % 5, 100 + i, s"E${(i + 1) % 6}"))
+    def run(parts: Int) =
+      KgPipeline.cooccurrence(base.toDF("url", "sent_id", "start", "entity_id")
+        .repartition(parts)).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2))
+    assert(run(1).toSeq === run(7).toSeq)
+  }
 }

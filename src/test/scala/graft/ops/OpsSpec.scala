@@ -84,6 +84,37 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) === ((1L, 1L, 1.0)))
   }
 
+  test("lineDedup: corpus-wide keep-first per line, reconstruction fingerprint") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Seq(
+      (1L, "alpha beta\ncommon line\ngamma"),
+      (2L, "common line\ndelta"),      // "common line" already seen in doc 1
+      (3L, "common line\ncommon line") // every line a dup → empty rebuild
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(rows).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))))
+      .toMap
+    assert(got(1L) === ((3L, 0L, 0.0, md5hex("alpha beta\ncommon line\ngamma"))))
+    assert(got(2L) === ((2L, 1L, 0.5, md5hex("delta"))))
+    assert(got(3L) === ((2L, 2L, 1.0, md5hex(""))))
+  }
+
+  test("lineDedup: identical at any parallelism (keep-first tie-break is global)") {
+    // many docs sharing lines; the winner of each line must not depend on
+    // partitioning, and the rebuilt-text order must follow line_idx
+    val docs = Seq.tabulate(40) { i =>
+      (i.toLong, (0 until 6).map(j => s"line ${(i + j) % 9} payload").mkString("\n"))
+    }
+    def run(parts: Int) = Dedup.lineDedup(docs.toDF("doc_id", "text").repartition(parts))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))
+      .sortBy(_._1)
+    val one = run(1)
+    assert(one.toSeq === run(7).toSeq)
+    // 9 distinct lines corpus-wide → exactly 9 kept lines across all docs
+    assert(one.map(t => t._2 - t._3).sum === 9)
+  }
+
   test("PII scrub: counts and redaction, email digits not double-counted as phones") {
     val rows = Seq(
       (1L, "mail me at jane.doe@example.org or call 555-0199 ok"),

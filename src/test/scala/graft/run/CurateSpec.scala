@@ -143,6 +143,50 @@ class CurateSpec extends AnyFunSuite {
     assert(again === extFunnel)
   }
 
+  // ---- line-dedup stage (--line-dedup) -----------------------------------
+
+  /** A gate-passing boilerplate footer (≥10 words, stopword-rich, no
+    * punctuation excess): a doc consisting of ONLY this line passes every
+    * heuristic gate and both doc-level dedups, and can die only in the
+    * line-dedup stage's empty-rebuild drop. */
+  private val footer: String =
+    "all the rights of this page are reserved by the site owner and the content is provided as is"
+
+  private lazy val lineInputDir: String = {
+    // real multi-line docs (page text is newline-joined sentences) + the
+    // shared footer line on every page + one all-boilerplate doc
+    val pages = graft.kg.PagesGen.pages(spark, 200L, 11L).toDF()
+      .select(regexp_extract($"url", "page/(\\d+)", 1).cast("long").as("doc_id"),
+        concat($"text", lit("\n" + footer)).as("text"), $"lang")
+    val dir = java.nio.file.Files.createTempDirectory("curate_line_in").toString
+    pages.union(Seq((900004L, footer, "en")).toDF("doc_id", "text", "lang"))
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private lazy val lineOutRoot = java.nio.file.Files.createTempDirectory("curate_line_out").toString
+  private lazy val lineFunnel = CurateCli.run(spark, lineOutRoot, lineInputDir,
+    log = _ => (), lineDedup = true)
+
+  test("line-dedup stage: corpus-wide footer killed, all-boilerplate doc dropped") {
+    val c = lineFunnel.map { s => val Array(k, v) = s.split("="); k -> v.toLong }.toMap
+    assert(c.contains("linededup"))
+    assert(c("linededup") <= c("dedup") && c("linededup") > 0)
+    assert(c("sample") === c("linededup"))
+    assert(graft.kg.Checkpoints.isComplete(lineOutRoot, "linededup"))
+    val afterDedup = spark.read.parquet(s"$lineOutRoot/dedup")
+      .select("doc_id").as[Long].collect().toSet
+    assert(afterDedup.contains(900004L), "footer-only doc must reach line dedup")
+    val out = spark.read.parquet(s"$lineOutRoot/linededup")
+      .select("doc_id", "clean_text").as[(Long, String)].collect()
+    assert(!out.map(_._1).contains(900004L), "empty rebuild must be dropped")
+    val withFooter = out.filter(_._2.contains(footer))
+    assert(withFooter.length === 1, s"exactly one keeper of the footer line, got ${withFooter.length}")
+    // keep-first: every input doc holds the footer, so the keeper must be
+    // the globally-minimal doc_id that reached the stage
+    assert(withFooter.head._1 === afterDedup.min)
+  }
+
   test("resume: invalidating a mid-chain stage reproduces identical survivors") {
     funnel
     def snap() = spark.read.parquet(s"$outRoot/sample")
