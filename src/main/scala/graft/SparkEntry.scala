@@ -317,6 +317,12 @@ object SparkEntry {
         .select("doc_id", "lang", "bucket")),
     "q39_bm25_search" -> ((s, dir) =>
       graft.ops.Bm25.search(t(s, dir, "documents"), Bm25Queries, k = 5)),
+    "q59_seq_pack" -> ((s, dir) =>
+      // groupSize 64 (not the 4096 default) so the sf0.01 run actually
+      // exercises the two-level prefix-sum composition across many groups
+      graft.ops.Packing.packOffsets(t(s, dir, "documents"), budget = 1024, groupSize = 64)),
+    "q60_domain_quota" -> ((s, dir) =>
+      graft.ops.Sampling.domainQuota(t(s, dir, "documents"), cap = 10)),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
     "q48_quality_mixture" -> ((s, dir) => {
@@ -522,6 +528,30 @@ object SparkEntry {
          WHERE bucket < (CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN '4000'
                          WHEN 'de' THEN '2000' ELSE '1000' END)""",
     "q39_bm25_search" -> graft.ops.Bm25.oracleSql(Bm25Queries, k = 5),
+    // the oracle states packing as the naive global running sum — the Spark
+    // side must reproduce it exactly through the two-level decomposition
+    "q59_seq_pack" ->
+      """WITH toks AS (SELECT doc_id,
+              CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+              FROM documents),
+            c AS (SELECT doc_id, n_tokens,
+              CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+              FROM toks)
+         SELECT doc_id, n_tokens, tok_offset,
+            CAST(tok_offset // 1024 AS BIGINT) AS seq_start,
+            CAST(CASE WHEN n_tokens = 0 THEN tok_offset // 1024
+                 ELSE (tok_offset + n_tokens - 1) // 1024 END AS BIGINT) AS seq_end,
+            CAST(CASE WHEN n_tokens = 0 THEN 1
+                 ELSE (tok_offset + n_tokens - 1) // 1024 - tok_offset // 1024 + 1 END AS BIGINT) AS n_seqs
+         FROM c""",
+    "q60_domain_quota" ->
+      s"""WITH q AS (SELECT source, doc_id, CAST($qualityScoreSql AS DOUBLE) AS quality FROM documents),
+            r AS (SELECT source, doc_id, quality,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id) AS rn FROM q)
+         SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, quality FROM r WHERE rn <= 10""",
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c

@@ -48,4 +48,26 @@ object Sampling {
     docs.withColumn("bucket", bucket)
       .filter(col("bucket") < threshold)
   }
+
+  /** Per-domain quota cap — the domain-balancing step that stops one giant
+    * crawl host from dominating a training mixture: keep at most `cap` docs
+    * per domain, preferring the highest quality score (doc_id breaks ties
+    * deterministically).
+    *
+    * Scale design: runs on the custom bounded-heap top-k operator
+    * (graft.plans.TopK — partial per-partition heaps, then a merge capped at
+    * `cap` rows per key), NOT a `row_number` window. A window partitioned by
+    * domain sorts every row of the hottest domain in one task; the heap
+    * operator holds `cap` rows per key per partition regardless of how
+    * skewed the domain distribution is, which is the shape that survives a
+    * single domain with billions of pages. */
+  def domainQuota(docs: DataFrame, cap: Int, domainCol: String = "source"): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val scored = docs.select(col(domainCol).as("source"), col("doc_id"),
+      round(TextStats.qualityScore(col("text")), 2).as("quality"))
+    graft.plans.TopK.perKey(scored, Seq(col("source")),
+        Seq(desc("quality"), asc("doc_id")), k = cap)
+      .select(col("source"), col("rn").cast("long").as("rn"),
+        col("doc_id"), col("quality"))
+  }
 }
