@@ -323,6 +323,10 @@ object SparkEntry {
       graft.ops.Packing.packOffsets(t(s, dir, "documents"), budget = 1024, groupSize = 64)),
     "q60_domain_quota" -> ((s, dir) =>
       graft.ops.Sampling.domainQuota(t(s, dir, "documents"), cap = 10)),
+    "q61_bpe_pairs" -> ((s, dir) =>
+      graft.ops.Bpe.pairStats(t(s, dir, "documents"), topN = 200)),
+    "q62_bpe_encode" -> ((s, dir) =>
+      graft.ops.Bpe.encode(t(s, dir, "documents"), BpeMerges)),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
     "q48_quality_mixture" -> ((s, dir) => {
@@ -432,6 +436,13 @@ object SparkEntry {
     1L -> Seq("spark", "table"),
     2L -> Seq("hash", "merge", "sort"),
     3L -> Seq("window", "batch"))
+
+  /** Fixed BPE merge list for q62 (hex UTF-8 byte symbols; includes
+    * second-level merges — "7468"+"65" is ("th","e") — so the query
+    * exercises merged-symbol re-merging, not just base byte pairs). */
+  private val BpeMerges: Seq[(String, String)] = Seq(
+    ("74", "68"), ("7468", "65"), ("69", "6E"), ("65", "72"),
+    ("61", "6E"), ("6F", "6E"), ("616E", "64"))
 
   /** The q20 quality-score formula as DuckDB SQL (shared by q48). */
   private val qualityScoreSql: String =
@@ -552,6 +563,8 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY source
                     ORDER BY quality DESC, doc_id) AS rn FROM q)
          SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, quality FROM r WHERE rn <= 10""",
+    "q61_bpe_pairs" -> graft.ops.Bpe.oracleSqlPairs(topN = 200),
+    "q62_bpe_encode" -> graft.ops.Bpe.oracleSqlEncode(BpeMerges),
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
