@@ -327,6 +327,18 @@ object SparkEntry {
       graft.ops.Bpe.pairStats(t(s, dir, "documents"), topN = 200)),
     "q62_bpe_encode" -> ((s, dir) =>
       graft.ops.Bpe.encode(t(s, dir, "documents"), BpeMerges)),
+    "q63_kmeans" -> ((s, dir) =>
+      graft.ops.Kmeans.cluster(
+        t(s, dir, "embeddings").select("vec_id", "embedding"), k = 8, iters = 5)),
+    "q64_semdedup" -> ((s, dir) => {
+      // the q32 planted-dup construction, clustered then mined per cluster
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = emb.select((col("vec_id") + 1000000).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          (v + when(i === 0, lit(0.01f)).otherwise(lit(0.0f))).cast("float")).as("embedding"))
+      graft.ops.Kmeans.semDedupPairs(emb.union(perturbed), k = 8, iters = 5,
+        threshold = 0.98)
+    }),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
     "q48_quality_mixture" -> ((s, dir) => {
@@ -565,6 +577,10 @@ object SparkEntry {
          SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, quality FROM r WHERE rn <= 10""",
     "q61_bpe_pairs" -> graft.ops.Bpe.oracleSqlPairs(topN = 200),
     "q62_bpe_encode" -> graft.ops.Bpe.oracleSqlEncode(BpeMerges),
+    // dim = 64: the testdata embeddings width (the oracle unrolls per-dim)
+    "q63_kmeans" -> graft.ops.Kmeans.oracleSql(k = 8, iters = 5, dim = 64),
+    "q64_semdedup" ->
+      graft.ops.Kmeans.oracleSqlSemDedup(k = 8, iters = 5, dim = 64, threshold = 0.98),
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
