@@ -832,6 +832,15 @@ object SparkEntry {
         .select(col("url"), md5(col("extracted")).as("extracted_fp"),
           (col("extracted") === col("text")).as("matches_source"))
     }),
+    "q65_web_links" -> ((s, _) =>
+      // hyperlink extraction from the page html (the web-graph edge list
+      // with anchor text); oracle re-runs the RE2 pattern over the pin
+      graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
+    "q66_web_pagerank" -> ((s, _) =>
+      // fixed-point PageRank over the EXTRACTED web graph — oracle
+      // re-extracts the edges from the pin and unrolls the iterations
+      graft.kg.WebGraph.pagerank(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF(),
+        iterations = 10)),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -882,7 +891,14 @@ object SparkEntry {
     * BIT-identically in a second engine; `//` is DuckDB's integer floor
     * division (positive operands ⇒ same as JVM `div`). The pin stays only
     * as GoldenKgSpec's test-side drift gate. */
-  private def pagerankOracleSql(pin: String, iterations: Int): String = {
+  private def pagerankOracleSql(pin: String, iterations: Int): String =
+    pagerankOracleSqlFromEdges(
+      s"SELECT DISTINCT subj AS src, obj AS dst FROM '$pin'", iterations)
+
+  /** Same unrolled fixed-point PageRank, parametrized by the edge-set SQL —
+    * q54 feeds it the triples pin, q66 the href extraction over the pages
+    * pin. */
+  private def pagerankOracleSqlFromEdges(edgeSql: String, iterations: Int): String = {
     val iters = (1 to iterations).map { k =>
       s"""c$k AS (SELECT e.dst AS node,
                  CAST(sum(r.rank_fp * 85 // (100 * e.deg)) AS BIGINT) AS inflow
@@ -891,8 +907,7 @@ object SparkEntry {
                  (SELECT base FROM params) + coalesce(c.inflow, 0) AS rank_fp
                  FROM nodes n LEFT JOIN c$k c ON c.node = n.node)"""
     }.mkString(",\n          ")
-    s"""WITH t AS (SELECT * FROM '$pin'),
-          e0 AS (SELECT DISTINCT subj AS src, obj AS dst FROM t),
+    s"""WITH e0 AS ($edgeSql),
           deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
           e AS (SELECT e0.src, e0.dst, d.deg FROM e0 JOIN deg d ON d.src = e0.src),
           nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
@@ -963,6 +978,11 @@ object SparkEntry {
       graft.run.GoldenDump.goldenFile("q51_kg_links")),
     "q56_html_text" -> graft.kg.HtmlText.oracleSql(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
+    "q65_web_links" -> graft.kg.WebGraph.oracleSqlLinks(
+      graft.run.GoldenDump.auxPinFile("q56_pages")),
+    "q66_web_pagerank" -> pagerankOracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      iterations = 10),
     "q57_kg_cooccur" ->
       s"""WITH l AS (SELECT DISTINCT url, sent_id, entity_id
                      FROM '${graft.run.GoldenDump.goldenFile("q51_kg_links")}'),

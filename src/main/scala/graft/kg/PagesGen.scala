@@ -39,6 +39,28 @@ object PagesGen {
   private def sentCount(h: Long, density: Int): Int =
     ((((h >>> 24) % 8 + 8) % 8).toInt + 2) * density
 
+  /** Canonical url of page j (pure function of (seed, j) — computable
+    * without materializing the page). */
+  def urlOf(seed: Long, j: Long): String =
+    s"https://${domainFor(Synth.splitmix64(seed ^ j))}/page/$j"
+
+  /** The pages page i hyperlinks to (deterministic, needs no corpus size):
+    * a hub page (ids 0..9 — scale-free-ish in-degree on the hubs), the
+    * sequential neighbor i+1 (dangling at the corpus edge, as on the real
+    * web), and an ancestor i/2. Rendered as `<a href>` anchors WRAPPING
+    * existing sentence words, so tag-stripping extraction reproduces the
+    * page text byte-identically (the q56 invariant) while the html carries
+    * a real link graph for [[WebGraph]]. */
+  def linkTargets(i: Long, h: Long): IndexedSeq[Long] =
+    IndexedSeq(((h >>> 48) % 10 + 10) % 10, i + 1, i / 2)
+
+  /** First word of `s` wrapped in an anchor to `dst`. */
+  private def anchorize(s: String, dst: String): String = {
+    val idx = s.indexOf(' ')
+    val (w, rest) = if (idx < 0) (s, "") else s.splitAt(idx)
+    s"""<a href="$dst">$w</a>$rest"""
+  }
+
   /** Global sentence index space: page i uses sentence ids [i*80, i*80+k). */
   def pageOf(seed: Long, i: Long, density: Int = 1): (Page, IndexedSeq[GoldMention]) = {
     val h = Synth.splitmix64(seed ^ i)
@@ -49,8 +71,12 @@ object PagesGen {
     val text = sents.map(_.text).mkString("\n")
     val lang = if (((h >>> 40) % 10 + 10) % 10 == 9) "de" else "en"
     val ts = new java.sql.Timestamp(1672531200000L + (((h >>> 8) % 31536000L + 31536000L) % 31536000L) * 1000L)
+    val targets = linkTargets(i, h)
+    val bodyHtml = sents.zipWithIndex.map { case (s, k) =>
+      if (k < targets.length) anchorize(s.text, urlOf(seed, targets(k))) else s.text
+    }
     val html = (s"<html><head><title>page $i</title></head><body><p>" +
-      sents.map(_.text).mkString("</p><p>") + "</p></body></html>").getBytes("UTF-8")
+      bodyHtml.mkString("</p><p>") + "</p></body></html>").getBytes("UTF-8")
     val gold = sents.zipWithIndex.flatMap { case (s, k) =>
       s.spans.zip(s.ents).map { case (sp, (_, _, _, eid)) =>
         GoldMention(url, k, sp.start, sp.end, sp.value, sp.entity, eid)

@@ -1,0 +1,69 @@
+package graft.kg
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Gates for web-graph construction: extraction parity with a JVM-regex
+  * brute force over the generator html, the link-topology invariants the
+  * generator plants (hub targets, neighbor, ancestor), text-extraction
+  * compatibility (anchors must not perturb q56's byte-identity), and
+  * hub dominance under PageRank. */
+class WebGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  private val N = 120L
+  private def pages = PagesGen.pages(spark, N, 42L).toDF()
+
+  test("links matches a brute-force regex over the html, page by page") {
+    val got = WebGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSeq).toMap
+    val pat = java.util.regex.Pattern.compile(WebGraph.HrefPattern)
+    val ref = (0L until N).map { i =>
+      val p = PagesGen.pageOf(42L, i)._1
+      val m = pat.matcher(new String(p.html, "UTF-8"))
+      val links = Iterator.continually(m)
+        .takeWhile(_.find()).map(mm => (mm.group(1), mm.group(2))).toSeq
+      p.url -> links
+    }.toMap
+    assert(got.keySet === ref.filter(_._2.nonEmpty).keySet)
+    ref.filter(_._2.nonEmpty).foreach { case (u, l) => assert(got(u) === l) }
+  }
+
+  test("every page links its planted targets: hub, neighbor i+1, ancestor i/2") {
+    val got = WebGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    (0L until N).foreach { i =>
+      val h = Synth.splitmix64(42L ^ i)
+      val page = PagesGen.pageOf(42L, i)._1
+      val nSents = page.text.count(_ == '\n') + 1
+      val expect = PagesGen.linkTargets(i, h).take(nSents)
+        .map(j => PagesGen.urlOf(42L, j)).toSet
+      assert(got(page.url) === expect, s"page $i")
+    }
+  }
+
+  test("anchor markup never leaks into the extracted text (q56 invariant)") {
+    val bad = pages
+      .withColumn("extracted", HtmlText.htmlToText(col("html")))
+      .filter(col("extracted") =!= col("text")).count()
+    assert(bad === 0L)
+  }
+
+  test("hubs dominate the extracted-graph PageRank") {
+    val ranked = WebGraph.pagerank(pages, iterations = 10)
+      .orderBy(desc("rank_fp"), asc("node")).limit(15)
+      .collect().map(_.getString(0)).toSet
+    val hubs = (0L until 10L).map(j => PagesGen.urlOf(42L, j)).toSet
+    assert(hubs.subsetOf(ranked),
+      s"hubs missing from top-15: ${hubs.diff(ranked)}")
+  }
+
+  test("extraction is partition-invariant") {
+    val a = WebGraph.links(pages).orderBy("src", "dst", "anchor").collect().toSeq
+    val b = WebGraph.links(pages.repartition(7)).orderBy("src", "dst", "anchor").collect().toSeq
+    assert(a === b)
+  }
+}
