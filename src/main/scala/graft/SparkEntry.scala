@@ -841,6 +841,12 @@ object SparkEntry {
       // re-extracts the edges from the pin and unrolls the iterations
       graft.kg.WebGraph.pagerank(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF(),
         iterations = 10)),
+    "q67_anchor_profile" -> ((s, _) =>
+      // anchor-text profile per target page (the entity-naming signal)
+      graft.kg.WebGraph.anchorProfile(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
+    "q68_host_graph" -> ((s, _) =>
+      // domain-level rollup of the extracted link graph
+      graft.kg.WebGraph.hostGraph(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -983,6 +989,10 @@ object SparkEntry {
     "q66_web_pagerank" -> pagerankOracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       iterations = 10),
+    "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
+      graft.run.GoldenDump.auxPinFile("q56_pages")),
+    "q68_host_graph" -> graft.kg.WebGraph.oracleSqlHostGraph(
+      graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q57_kg_cooccur" ->
       s"""WITH l AS (SELECT DISTINCT url, sent_id, entity_id
                      FROM '${graft.run.GoldenDump.goldenFile("q51_kg_links")}'),

@@ -37,6 +37,76 @@ object WebGraph {
   def pagerank(pages: DataFrame, iterations: Int = 10): DataFrame =
     PageRank.run(links(pages).select("src", "dst"), iterations)
 
+  /** Host of a url (the part between `://` and the first `/`). Same regexp
+    * both engines — no parse_url dependency (DuckDB has none). */
+  def host(url: Column): Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
+  /** Anchor-text profile per TARGET page — "what the web calls this page",
+    * the classical anchor signal for entity naming / linking: in-link
+    * count, distinct anchor count, distinct linking hosts, and the most
+    * common anchor (ties → lexicographically smallest). One aggregation
+    * keyed by (dst, anchor) then a bounded-heap top-1 per dst — the
+    * two-phase shape that survives hot targets (a hub's million in-links
+    * partial-aggregate map-side; no per-dst sort). */
+  def anchorProfile(pages: DataFrame): DataFrame = {
+    val l = links(pages).withColumn("src_host", host(col("src")))
+    val perAnchor = l.groupBy("dst", "anchor")
+      .agg(count(lit(1)).as("n"))
+    val totals = perAnchor.groupBy("dst")
+      .agg(sum("n").cast("long").as("n_inlinks"),
+        count(lit(1)).as("n_anchors"))
+    val top = graft.plans.TopK.perKey(perAnchor, Seq(col("dst")),
+        Seq(desc("n"), asc("anchor")), 1, rnName = "rn")
+      .select(col("dst"), col("anchor").as("top_anchor"),
+        col("n").cast("long").as("top_anchor_n"))
+    val hosts = l.groupBy("dst").agg(countDistinct(col("src_host")).as("n_src_hosts"))
+    totals.join(top, Seq("dst")).join(hosts, Seq("dst"))
+      .select(col("dst"), col("n_inlinks"), col("n_anchors"),
+        col("n_src_hosts"), col("top_anchor"), col("top_anchor_n"))
+  }
+
+  /** Host-level rollup of the link graph: (src_host, dst_host, n_links,
+    * n_pages) — the domain graph curation pipelines use for spam/quality
+    * priors. Pure two-column aggregation over the extracted edges. */
+  def hostGraph(pages: DataFrame): DataFrame =
+    links(pages)
+      .select(host(col("src")).as("src_host"), host(col("dst")).as("dst_host"),
+        col("src"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_pages"))
+
+  /** q67 oracle: profile recomputed from the pin extraction. */
+  def oracleSqlAnchorProfile(pagesPin: String): String =
+    s"""WITH u AS (SELECT src, dst, anchor,
+                   regexp_extract(src, '^https?://([^/]+)', 1) AS src_host
+                   FROM (SELECT url AS src,
+                           unnest(regexp_extract_all(decode(html), '$HrefPattern', 1)) AS dst,
+                           unnest(regexp_extract_all(decode(html), '$HrefPattern', 2)) AS anchor
+                         FROM '$pagesPin')),
+          pa AS (SELECT dst, anchor, CAST(count(*) AS BIGINT) AS n
+                 FROM u GROUP BY dst, anchor),
+          tot AS (SELECT dst, CAST(sum(n) AS BIGINT) AS n_inlinks,
+                  CAST(count(*) AS BIGINT) AS n_anchors FROM pa GROUP BY dst),
+          top AS (SELECT dst, anchor AS top_anchor, n AS top_anchor_n FROM pa
+                  QUALIFY row_number() OVER (PARTITION BY dst ORDER BY n DESC, anchor) = 1),
+          h AS (SELECT dst, CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+                FROM u GROUP BY dst)
+       SELECT tot.dst, n_inlinks, n_anchors, n_src_hosts, top_anchor, top_anchor_n
+       FROM tot JOIN top USING (dst) JOIN h USING (dst)"""
+
+  /** q68 oracle: host rollup from the pin extraction. */
+  def oracleSqlHostGraph(pagesPin: String): String =
+    s"""WITH u AS (SELECT url AS src,
+                   unnest(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                   FROM '$pagesPin')
+       SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+              regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host,
+              CAST(count(*) AS BIGINT) AS n_links,
+              CAST(count(DISTINCT src) AS BIGINT) AS n_pages
+       FROM u GROUP BY 1, 2"""
+
   /** q65 oracle: the identical RE2 extraction over the pinned pages. */
   def oracleSqlLinks(pagesPin: String): String =
     s"""WITH p AS (SELECT url, decode(html) AS h FROM '$pagesPin'),

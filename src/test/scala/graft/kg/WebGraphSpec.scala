@@ -61,6 +61,32 @@ class WebGraphSpec extends AnyFunSuite {
       s"hubs missing from top-15: ${hubs.diff(ranked)}")
   }
 
+  test("anchorProfile matches a brute-force recompute of the link list") {
+    val linkRows = WebGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    def hostOf(u: String) = u.stripPrefix("https://").takeWhile(_ != '/')
+    val ref = linkRows.groupBy(_._2).map { case (dst, rows) =>
+      val byAnchor = rows.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+      val (topA, topN) = byAnchor.toSeq.minBy { case (a, n) => (-n, a) }
+      dst -> ((rows.length.toLong, byAnchor.size.toLong,
+        rows.map(r => hostOf(r._1)).distinct.length.toLong, topA, topN))
+    }
+    val got = WebGraph.anchorProfile(pages).collect().map { r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getLong(5)))
+    }.toMap
+    assert(got === ref)
+  }
+
+  test("hostGraph totals are conserved: sum of n_links equals the edge count") {
+    val total = WebGraph.links(pages).count()
+    val hg = WebGraph.hostGraph(pages)
+    assert(hg.agg(sum("n_links")).collect()(0).getLong(0) === total)
+    // hot domains must appear as sources (generator plants ~40% there)
+    val hosts = hg.select("src_host").distinct().collect().map(_.getString(0)).toSet
+    PagesGen.HotDomains.foreach(d => assert(hosts.contains(d)))
+  }
+
   test("extraction is partition-invariant") {
     val a = WebGraph.links(pages).orderBy("src", "dst", "anchor").collect().toSeq
     val b = WebGraph.links(pages.repartition(7)).orderBy("src", "dst", "anchor").collect().toSeq
