@@ -330,6 +330,10 @@ object SparkEntry {
     "q63_kmeans" -> ((s, dir) =>
       graft.ops.Kmeans.cluster(
         t(s, dir, "embeddings").select("vec_id", "embedding"), k = 8, iters = 5)),
+    "q69_cluster_sample" -> ((s, dir) =>
+      graft.ops.Kmeans.clusterBalancedSample(
+        t(s, dir, "embeddings").select("vec_id", "embedding"),
+        k = 8, iters = 5, cap = 20)),
     "q64_semdedup" -> ((s, dir) => {
       // the q32 planted-dup construction, clustered then mined per cluster
       val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -579,6 +583,8 @@ object SparkEntry {
     "q62_bpe_encode" -> graft.ops.Bpe.oracleSqlEncode(BpeMerges),
     // dim = 64: the testdata embeddings width (the oracle unrolls per-dim)
     "q63_kmeans" -> graft.ops.Kmeans.oracleSql(k = 8, iters = 5, dim = 64),
+    "q69_cluster_sample" ->
+      graft.ops.Kmeans.oracleSqlClusterSample(k = 8, iters = 5, dim = 64, cap = 20),
     "q64_semdedup" ->
       graft.ops.Kmeans.oracleSqlSemDedup(k = 8, iters = 5, dim = 64, threshold = 0.98),
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),

@@ -134,6 +134,33 @@ object Kmeans {
       .select(col("cluster"), col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Cluster-balanced diversity sampling: up to `cap` vectors per k-means
+    * cluster, picked in md5(vec_id) order — a deterministic pseudo-random
+    * draw BOTH engines can replay (the q38 md5-bucket trick), unlike
+    * xxhash64 which DuckDB lacks. The per-cluster pick runs on the
+    * bounded-heap TopKPerKey operator: a hot cluster costs O(cap) heap,
+    * never a per-cluster sort — the same skew contract as domainQuota. */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int, iters: Int,
+                            cap: Int, scale: Long = 1000000L): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
+    val a = cluster(embeddings, k, iters, scale)
+      .withColumn("pick", md5(col("vec_id").cast("string").cast("binary")))
+    graft.plans.TopK.perKey(a, Seq(col("cluster")),
+        Seq(asc("pick"), asc("vec_id")), cap, rnName = "rn")
+      .select(col("cluster"), col("rn").cast("long").as("rn"), col("vec_id"))
+  }
+
+  /** q69 oracle: assignment CTEs + the same md5-ordered window pick. */
+  def oracleSqlClusterSample(k: Int, iters: Int, dim: Int, cap: Int,
+                             scale: Long = 1000000L): String =
+    s"""WITH ${oracleCtes(k, iters, dim, scale)},
+          r AS (SELECT cluster, vec_id,
+                row_number() OVER (PARTITION BY cluster
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+                FROM af)
+        SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rn AS BIGINT) AS rn, vec_id
+        FROM r WHERE rn <= $cap"""
+
   // ====================================================================
   // DuckDB oracles — the Lloyd iterations unrolled as CTEs with the SAME
   // integer arithmetic. An independent FORMULATION (per-dim unnest via

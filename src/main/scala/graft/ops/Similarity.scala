@@ -11,10 +11,17 @@ import org.apache.spark.sql.functions._
   * array column — Tungsten-evaluated, no UDF, no mllib Vector conversion. */
 object Similarity {
 
-  /** dot(x, y) in double precision. */
+  /** dot(x, y) in double precision — the native [[graft.plans.VectorKernel]]
+    * (generated static call, primitive loop) with the exact IEEE operation
+    * order of the HOF fold it replaced: float→double widening, double
+    * multiply, left-to-right accumulation. Bit-identical results; the HOF
+    * (`aggregate(zip_with(...))`) ran an interpreted lambda per element per
+    * pair. Inputs are `array<float>` (all embedding columns). */
   def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (a, b) => a.cast("double") * b.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.FloatDotExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(x),
+        org.apache.spark.sql.GraftColumnBridge.expression(y)))
 
   def norm(x: Column): Column = sqrt(dot(x, x))
 

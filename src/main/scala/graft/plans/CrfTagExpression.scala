@@ -130,7 +130,9 @@ object GraftFunctions {
         c => RepetitionStatsExpression(c.head)),
       fn("lang_scores", "graft.plans.LangScoresExpression", 1,
         c => LangScoresExpression(c.head, graft.ops.LangId.langsSorted,
-          graft.ops.LangId.langsSorted.map(graft.ops.LangId.profiles(_)))))
+          graft.ops.LangId.langsSorted.map(graft.ops.LangId.profiles(_)))),
+      fn("float_dot", "graft.plans.FloatDotExpression", 2,
+        c => FloatDotExpression(c.head, c(1))))
   }
 
   /** Register the kernel SQL functions on an existing session. */

@@ -110,6 +110,23 @@ class KmeansSpec extends AnyFunSuite {
     vals.foreach(v => assert(v >= 0.999))
   }
 
+  test("clusterBalancedSample takes exactly cap per cluster in md5 order") {
+    val got = Kmeans.clusterBalancedSample(blobDf, k = 3, iters = 4, cap = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 15)
+    got.groupBy(_._1).foreach { case (_, rows) => assert(rows.length === 5) }
+    // replay: within each cluster the picks are the md5-smallest vec_ids
+    val assign = Kmeans.cluster(blobDf, k = 3, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    def md5hex(id: Long) = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ref = assign.groupBy(_._2).toSeq.flatMap { case (c, members) =>
+      members.map(_._1).sortBy(id => (md5hex(id), id)).take(5).zipWithIndex
+        .map { case (id, i) => (c, i.toLong + 1, id) }
+    }.toSet
+    assert(got.toSet === ref)
+  }
+
   test("maxCluster cap deterministically skips oversized clusters") {
     val pairs = Kmeans.semDedupPairs(blobDf, k = 3, iters = 4,
       threshold = 0.0, maxCluster = 10L)
