@@ -847,6 +847,9 @@ object SparkEntry {
       // re-extracts the edges from the pin and unrolls the iterations
       graft.kg.WebGraph.pagerank(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF(),
         iterations = 10)),
+    "q70_triangles" -> ((s, _) =>
+      // degree-oriented triangle counting over the extracted page graph
+      graft.kg.WebGraph.triangles(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
     "q67_anchor_profile" -> ((s, _) =>
       // anchor-text profile per target page (the entity-naming signal)
       graft.kg.WebGraph.anchorProfile(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
@@ -995,6 +998,8 @@ object SparkEntry {
     "q66_web_pagerank" -> pagerankOracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       iterations = 10),
+    "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
+      graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q68_host_graph" -> graft.kg.WebGraph.oracleSqlHostGraph(

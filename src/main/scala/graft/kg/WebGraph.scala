@@ -107,6 +107,62 @@ object WebGraph {
               CAST(count(DISTINCT src) AS BIGINT) AS n_pages
        FROM u GROUP BY 1, 2"""
 
+  /** Per-node triangle counts over the UNDIRECTED page graph — the
+    * clustering-coefficient numerator (link-spam rings and boilerplate nav
+    * blocks show up as dense triangles). Degree-ORIENTED enumeration, the
+    * standard skew-proof shape: every undirected edge points from its
+    * lower-(degree, id) endpoint to the higher, so each triangle is counted
+    * exactly once from its smallest vertex and the wedge join fans out from
+    * LOW-degree vertices only — a hub with a million in-links contributes no
+    * wedges of its own, bounding the join at O(m^1.5) instead of
+    * O(m · maxDeg). No global rank/window: the orientation is a local
+    * (deg, id) tuple comparison after one degree aggregation. */
+  def triangles(pages: DataFrame): DataFrame = {
+    val und = links(pages)
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val o = und
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u")).otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v")).otherwise(col("u")).as("b"))
+    // wedges at the low vertex, closed by an oriented edge between the tips
+    val w = o.as("e1").join(o.as("e2"),
+        col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val closed = w.join(o.as("e3"),
+      (col("y") === col("e3.a") && col("z") === col("e3.b")) ||
+        (col("z") === col("e3.a") && col("y") === col("e3.b")))
+      .select(col("x"), col("y"), col("z"))
+    closed.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** q70 oracle: identical degree-oriented enumeration from the pin. */
+  def oracleSqlTriangles(pagesPin: String): String =
+    s"""WITH l AS (SELECT url AS src,
+                   unnest(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                   FROM '$pagesPin'),
+          und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                  FROM l WHERE src <> dst),
+          deg AS (SELECT n, count(*) AS d FROM
+                  (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n),
+          o AS (SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+                       CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b
+                FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v),
+          w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.b < e2.b),
+          t AS (SELECT x, y, z FROM w JOIN o e3
+                ON (w.y = e3.a AND w.z = e3.b) OR (w.z = e3.a AND w.y = e3.b)),
+          n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
+       SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY node"""
+
   /** q65 oracle: the identical RE2 extraction over the pinned pages. */
   def oracleSqlLinks(pagesPin: String): String =
     s"""WITH p AS (SELECT url, decode(html) AS h FROM '$pagesPin'),

@@ -87,6 +87,26 @@ class WebGraphSpec extends AnyFunSuite {
     PagesGen.HotDomains.foreach(d => assert(hosts.contains(d)))
   }
 
+  test("triangles matches a brute-force enumeration") {
+    val edges = WebGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = adj.keys.toSeq.sorted
+    val ref = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      a <- nodes
+      b <- adj(a).toSeq.sorted if b > a
+      c <- (adj(a) intersect adj(b)).toSeq.sorted if c > b
+    } { ref(a) += 1; ref(b) += 1; ref(c) += 1 }
+    assert(ref.nonEmpty, "generator graph should contain triangles")
+    val got = WebGraph.triangles(pages).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === ref.toMap)
+  }
+
   test("extraction is partition-invariant") {
     val a = WebGraph.links(pages).orderBy("src", "dst", "anchor").collect().toSeq
     val b = WebGraph.links(pages.repartition(7)).orderBy("src", "dst", "anchor").collect().toSeq
