@@ -107,6 +107,25 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got === ref.toMap)
   }
 
+  test("streaming link extraction equals batch exactly (stateless operator)") {
+    val dir = java.nio.file.Files.createTempDirectory("pages_links").toString
+    PagesGen.pages(spark, N, 42L).write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Page].schema)
+      .parquet(dir)
+    val q = WebGraph.links(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("web_links_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT src, dst, anchor FROM web_links_stream")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .sorted.toSeq
+    val batch = WebGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted.toSeq
+    assert(got === batch)
+  }
+
   test("extraction is partition-invariant") {
     val a = WebGraph.links(pages).orderBy("src", "dst", "anchor").collect().toSeq
     val b = WebGraph.links(pages.repartition(7)).orderBy("src", "dst", "anchor").collect().toSeq
