@@ -132,14 +132,19 @@ object WebGraph {
           (col("du") === col("dv") && col("u") < col("v")), col("u")).otherwise(col("v")).as("a"),
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("v")).otherwise(col("u")).as("b"))
-    // wedges at the low vertex, closed by an oriented edge between the tips
+    // wedges at the low vertex, closed by an oriented edge between the tips.
+    // The tip edge exists in o in exactly ONE direction, so close with TWO
+    // hash equi-joins unioned — an OR join condition would plan as a
+    // BroadcastNestedLoopJoin (O(wedges × edges), the anti-pattern)
     val w = o.as("e1").join(o.as("e2"),
         col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
       .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
     val closed = w.join(o.as("e3"),
-      (col("y") === col("e3.a") && col("z") === col("e3.b")) ||
-        (col("z") === col("e3.a") && col("y") === col("e3.b")))
+        col("y") === col("e3.a") && col("z") === col("e3.b"))
       .select(col("x"), col("y"), col("z"))
+      .union(w.join(o.as("e3"),
+          col("z") === col("e3.a") && col("y") === col("e3.b"))
+        .select(col("x"), col("y"), col("z")))
     closed.select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
