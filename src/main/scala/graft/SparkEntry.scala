@@ -774,7 +774,11 @@ object SparkEntry {
   // ======================================================================
 
   private lazy val kgModel = graft.kg.KgPipeline.trainModel(42L)
-  private val KgPages = 300L
+  /** Page count of every generated-pages query (q50-q57, q65-q70) AND of the
+    * q56_pages aux pin — shared so GoldenDump can never pin a different
+    * corpus than the live queries read (they'd diverge loudly but needlessly
+    * on oracle row counts). */
+  val KgPages = 300L
 
   private def kgMentions(s: SparkSession): DataFrame = {
     import s.implicits._
@@ -798,7 +802,7 @@ object SparkEntry {
       val links = graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
         graft.kg.KgPipeline.aliasDf(s))
       graft.kg.KgPipeline.triples(links, sents)
-        .withColumn("conf", round(col("conf"), 4)).drop("n_urls_approx")
+        .withColumn("conf", round(col("conf"), 4)).drop("n_urls")
     }),
     "q55_kg_degrees" -> ((s, _) => {
       // graph degree profile over the live triple pipeline; the oracle

@@ -18,8 +18,9 @@ case class MentionRow(url: String, sent_id: Int, start: Int, end: Int, value: St
   *  - explicit `repartition(pmod(xxhash64(url), P))` before the heavy CRF
   *    stage: deterministic placement, no skew from source file layout
   *  - alias linking is a broadcast hash join (dictionary ≪ mentions)
-  *  - triple dedup is a salted two-phase aggregation (hot (s,p,o) keys — e.g.
-  *    popular entities on hot domains — pre-aggregate per salt bucket first)
+  *  - triple dedup is a two-phase aggregation with url as the natural salt
+  *    (hot (s,p,o) keys — e.g. popular entities on hot domains — spread
+  *    across reducers by url first, then merge map-side)
   *  - similarity join for canonicalization blocks on a cheap key and is
   *    salt-safe: block sizes are capped and AQE skew-join splits stragglers
   *  - every stage checkpoints to parquet with a manifest written LAST;
@@ -258,13 +259,20 @@ object KgPipeline {
       .select($"id1".as("subj"), $"pred", $"id2".as("obj"), $"url",
         least($"sc1", $"sc2").as("conf"))
 
-    // salted two-phase dedup: hot (s,p,o) keys pre-aggregate per salt bucket
+    // exact two-phase dedup with url as the NATURAL salt: phase 1 groups by
+    // (s,p,o,url) — a hot (s,p,o) key is spread across reducers by its many
+    // urls, the same skew protection the previous explicit 64-way salt
+    // bought — and phase 2's partial aggregation collapses each partition's
+    // share of a hot key map-side before the final exchange. Replacing the
+    // per-(s,p,o,salt) approx_count_distinct also deletes 64 HLL sketch
+    // buffers per distinct triple — the post-mention pipeline's dominant
+    // allocation source in the round-4 GC decomposition — and upgrades
+    // n_urls from approximate to exact for free.
     raw
-      .withColumn("salt", pmod(xxhash64($"url"), lit(64)))
-      .groupBy($"subj", $"pred", $"obj", $"salt")
-      .agg(count(lit(1)).as("c0"), max($"conf").as("m0"), approx_count_distinct($"url").as("u0"))
+      .groupBy($"subj", $"pred", $"obj", $"url")
+      .agg(count(lit(1)).as("c0"), max($"conf").as("m0"))
       .groupBy($"subj", $"pred", $"obj")
-      .agg(sum($"c0").as("n_sources"), max($"m0").as("conf"), sum($"u0").as("n_urls_approx"))
+      .agg(sum($"c0").as("n_sources"), max($"m0").as("conf"), count(lit(1)).as("n_urls"))
   }
 
   /** All unordered pairs within one (bounded) array — built-ins only. */
@@ -335,21 +343,22 @@ object KgPipeline {
   }
 
   // ------------------------------------------------------------- domain stats
-  /** Per-domain page/mention counts with EXPLICIT skew salting: hot domains
-    * (the generator plants two at ~20% each) would make a plain
-    * groupBy(domain) reducer-skewed at 10^12 docs, so the count is built as a
-    * salted two-phase aggregate — partials per (domain, salt) first, then the
-    * cheap final merge over ≤ 64 rows per domain. */
+  /** Per-domain page/mention counts with EXPLICIT skew protection: hot
+    * domains (the generator plants two at ~20% each) would make a plain
+    * groupBy(domain) reducer-skewed at 10^12 docs, so the count is built as
+    * a two-phase aggregate with url as the natural salt — partials per
+    * (domain, url) spread a hot domain across reducers by its pages, then
+    * the final merge partial-aggregates map-side (same shape as the triples
+    * dedup; exact distinct-url counts, no per-group HLL buffers). */
   def domainStats(mentions: Dataset[MentionRow]): DataFrame = {
     val spark = mentions.sparkSession
     import spark.implicits._
     mentions
       .withColumn("domain", regexp_extract($"url", "https?://([^/]+)/", 1))
-      .withColumn("salt", pmod(xxhash64($"url"), lit(64)))
-      .groupBy($"domain", $"salt")
-      .agg(count(lit(1)).as("m0"), approx_count_distinct($"url").as("u0"))
+      .groupBy($"domain", $"url")
+      .agg(count(lit(1)).as("m0"))
       .groupBy($"domain")
-      .agg(sum($"m0").as("n_mentions"), sum($"u0").as("n_urls_approx"))
+      .agg(sum($"m0").as("n_mentions"), count(lit(1)).as("n_urls"))
   }
 
   // -------------------------------------------------------------------- graph

@@ -22,14 +22,19 @@ object WebGraph {
   val HrefPattern = "<a href=\"([^\"]+)\">([^<]*)</a>"
 
   /** (src, dst, anchor) — one row per anchor occurrence, duplicates kept
-    * (they are real signal: multiple links to the same target). */
+    * (they are real signal: multiple links to the same target).
+    *
+    * ONE regex pass over the page bytes: `regexp_extract_all(_, _, 0)` pulls
+    * the full `<a …>…</a>` match strings, and the per-group extraction then
+    * reruns the pattern only on those short match strings — at 100 TB the
+    * html scan dominates this whole operator family, and the previous
+    * two-group formulation scanned every page's bytes twice. */
   def links(pages: DataFrame): DataFrame = {
     val h = col("html").cast("string")
     pages.select(col("url").as("src"),
-      explode(arrays_zip(
-        regexp_extract_all(h, lit(HrefPattern), lit(1)),
-        regexp_extract_all(h, lit(HrefPattern), lit(2)))).as("z"))
-      .select(col("src"), col("z.0").as("dst"), col("z.1").as("anchor"))
+        explode(regexp_extract_all(h, lit(HrefPattern), lit(0))).as("m"))
+      .select(col("src"), regexp_extract(col("m"), HrefPattern, 1).as("dst"),
+        regexp_extract(col("m"), HrefPattern, 2).as("anchor"))
   }
 
   /** PageRank over the extracted link graph (distinct edges — dedup happens
@@ -50,7 +55,12 @@ object WebGraph {
     * two-phase shape that survives hot targets (a hub's million in-links
     * partial-aggregate map-side; no per-dst sort). */
   def anchorProfile(pages: DataFrame): DataFrame = {
+    // the edge projection feeds two independent aggregation branches
+    // (perAnchor→totals/top and hosts) — persist so the html extraction,
+    // the dominant cost at scale, runs ONCE instead of once per branch
+    // (the q53-persist lesson; plan-gated in WebGraphSpec)
     val l = links(pages).withColumn("src_host", host(col("src")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perAnchor = l.groupBy("dst", "anchor")
       .agg(count(lit(1)).as("n"))
     val totals = perAnchor.groupBy("dst")
@@ -118,10 +128,14 @@ object WebGraph {
     * O(m · maxDeg). No global rank/window: the orientation is a local
     * (deg, id) tuple comparison after one degree aggregation. */
   def triangles(pages: DataFrame): DataFrame = {
+    // materialize the (slim, distinct) edge set once: deg and the
+    // orientation join reference `und` three times between them, and each
+    // un-materialized reference would re-run the html extraction
     val und = links(pages)
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
     val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val o = und

@@ -82,13 +82,34 @@ object Bpe {
   def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(syms) { case (c, (a, b)) => mergeOnce(c, a, b) }
 
-  /** Learn `nMerges` BPE merges: repeatedly count pairs over the (vocab-
-    * sized) symbol table, take the most frequent (ties broken by pair text —
-    * fully deterministic, parallelism-independent), merge it everywhere.
-    * Stops early when no pair remains. */
-  def learnMerges(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+  /** Learn `nMerges` BPE merges: at each step take the most frequent
+    * adjacent pair over the (vocab-sized) symbol table (ties broken by pair
+    * text — fully deterministic, parallelism-independent) and merge it
+    * everywhere. Stops early when no pair remains.
+    *
+    * Hybrid execution — the [[IvfIndex]] bounded-collect discipline: the
+    * iterative part of BPE is vocabulary-sized by construction, so when the
+    * word-frequency table fits `maxFitWords` (one probing collect decides —
+    * real corpora have a few million distinct words after the frequency
+    * aggregation), it is collected ONCE and the merges are learned by the
+    * driver-side incremental trainer: only the pair counts touched by the
+    * previous merge are updated per iteration, so a production 32k-merge
+    * vocabulary costs ONE Spark job total instead of 32k sequential
+    * jobs' scheduler latency. Vocabularies past the bound take the fully
+    * distributed path (one slim pair-count job per merge). Both paths are
+    * merge-by-merge identical (BpeSpec parity-gates them against each other
+    * and the brute-force reference). */
+  def learnMerges(docs: DataFrame, nMerges: Int,
+                  maxFitWords: Int = 4000000): Seq[(String, String)] = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var vocab = wordFreqs(docs).select(col("freq"), symbols(col("word")).as("syms"))
+    val wf = wordFreqs(docs)
+    // one job: collect at most maxFitWords+1 aggregated rows — getting fewer
+    // than the cap proves we hold the COMPLETE frequency table
+    val probe = wf.limit(maxFitWords + 1).collect()
+    if (probe.length <= maxFitWords)
+      return learnMergesLocal(
+        probe.map(r => (r.getString(0), r.getLong(1))).toIndexedSeq, nMerges)
+    var vocab = wf.select(col("freq"), symbols(col("word")).as("syms"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
@@ -101,6 +122,72 @@ object Bpe {
         merges += ((a, b))
         vocab = vocab.withColumn("syms", mergeOnce(col("syms"), a, b)).localCheckpoint()
       }
+    }
+    merges.toSeq
+  }
+
+  /** Driver-side incremental BPE over a COMPLETE (word, freq) table: classic
+    * single-node trainer semantics, maintained incrementally — per merge,
+    * only words containing the merged pair are re-counted. Pair ordering
+    * matches the distributed path bit for bit: the argmax compares the
+    * concatenated "a b" STRING (the separator 0x20 sorts below every hex
+    * symbol char, so this equals the (a, b) tuple order the hex alphabet
+    * implies — and it is exactly what `orderBy(desc(cnt), asc(pair))`
+    * compares). */
+  private def learnMergesLocal(wordFreqs: IndexedSeq[(String, Long)],
+                               nMerges: Int): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // vocab as mutable symbol buffers; initial symbols = UTF-8 bytes as hex
+    val vocab = wordFreqs.map { case (w, f) =>
+      (mutable.ArrayBuffer.from(w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X")), f)
+    }
+    val counts = mutable.HashMap.empty[String, Long]
+    // pair → words that contained it when last touched (entries go stale
+    // after merges; staleness only costs a no-op visit, never correctness,
+    // because the count delta is always recomputed from the CURRENT symbols)
+    val postings = mutable.HashMap.empty[String, mutable.Set[Int]]
+    def eachPair(syms: mutable.ArrayBuffer[String])(f: String => Unit): Unit = {
+      var j = 0
+      while (j + 1 < syms.length) { f(syms(j) + " " + syms(j + 1)); j += 1 }
+    }
+    def bump(pair: String, delta: Long): Unit = {
+      val c = counts.getOrElse(pair, 0L) + delta
+      if (c == 0L) counts.remove(pair) else counts(pair) = c
+    }
+    vocab.indices.foreach { i =>
+      val (syms, f) = vocab(i)
+      eachPair(syms) { p => bump(p, f); postings.getOrElseUpdate(p, mutable.Set.empty) += i }
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    while (merges.length < nMerges && counts.nonEmpty) {
+      // argmax by (count desc, pair string asc) — the distributed ordering
+      var bestPair: String = null
+      var bestCnt = Long.MinValue
+      counts.foreach { case (p, c) =>
+        if (c > bestCnt || (c == bestCnt && p < bestPair)) { bestPair = p; bestCnt = c }
+      }
+      val Array(a, b) = bestPair.split(" ", 2)
+      merges += ((a, b))
+      val merged = a + b
+      postings.getOrElse(bestPair, mutable.Set.empty).foreach { i =>
+        val (syms, f) = vocab(i)
+        // subtract the word's current pairs, apply the greedy
+        // left-to-right non-overlapping merge in place, add the new pairs
+        eachPair(syms)(bump(_, -f))
+        var r = 0; var w = 0
+        while (r < syms.length) {
+          if (r + 1 < syms.length && syms(r) == a && syms(r + 1) == b) {
+            syms(w) = merged; r += 2
+          } else { syms(w) = syms(r); r += 1 }
+          w += 1
+        }
+        syms.takeInPlace(w)
+        eachPair(syms) { p =>
+          bump(p, f); postings.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+      }
+      postings.remove(bestPair)
+      counts.remove(bestPair) // defensive: the subtract loop already zeroed it
     }
     merges.toSeq
   }

@@ -249,9 +249,12 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val lines = docs.select(col(idCol),
         posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
-    // grouping key is the 64-bit line hash — identical grouping to the text
-    // itself absent a 64-bit collision (an oracle-visible event)
-    val w = Window.partitionBy(xxhash64(col("line")))
+    // grouping key is (line hash, line): the 8-byte hash drives the shuffle
+    // partitioning while the line text — already shuffled for reconstruction,
+    // so adding it to the key costs nothing — removes the 64-bit-collision
+    // failure mode (at C4 scale, billions of distinct lines, a silent
+    // birthday collision would delete a unique line)
+    val w = Window.partitionBy(xxhash64(col("line")), col("line"))
       .orderBy(col(idCol), col("line_idx"))
     lines.withColumn("rn", row_number().over(w))
       .groupBy(col(idCol))

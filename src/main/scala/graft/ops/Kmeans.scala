@@ -42,18 +42,24 @@ object Kmeans {
   def quantize(vec: Column, scale: Long): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Exact integer squared L2 distance to one literal centroid. */
-  private def distSq(q: Column, cent: Array[Long]): Column =
-    aggregate(zip_with(q, typedLit(cent.toSeq), (a, b) => (a - b) * (a - b)),
-      lit(0L), (acc, v) => acc + v)
-
   /** Adds `cluster` (argmin, ties → lowest index) and `dist_sq` to a frame
-    * with a quantized `q` column. Map-side only. */
-  private def withAssignment(qdf: DataFrame, cents: IndexedSeq[Array[Long]]): DataFrame =
-    qdf.withColumn("dists", array(cents.map(c => distSq(col("q"), c)): _*))
-      .withColumn("dist_sq", array_min(col("dists")))
-      .withColumn("cluster", (array_position(col("dists"), col("dist_sq")) - 1).cast("long"))
-      .drop("dists")
+    * with a quantized `q` column. Map-side only: ONE generated k×dim
+    * integer loop per row ([[graft.plans.KmeansArgminExpression]] — the
+    * float_dot move; the previous formulation built an array of k
+    * interpreted `aggregate(zip_with(...))` folds per row, which is k
+    * CodegenFallback lambdas and a k-element array allocation each — the
+    * per-row cost that matters when k grows to SemDeDup-realistic
+    * thousands). Bit-identical by the exact-Long contract in the kernel. */
+  private def withAssignment(qdf: DataFrame, cents: IndexedSeq[Array[Long]]): DataFrame = {
+    val asgn = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.KmeansArgminExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("q")),
+        cents.map(_.clone).toArray))
+    qdf.withColumn("asgn", asgn)
+      .withColumn("dist_sq", col("asgn.dist_sq"))
+      .withColumn("cluster", col("asgn.cluster"))
+      .drop("asgn")
+  }
 
   /** `iters` Lloyd iterations over the whole corpus; returns the final
     * centroid matrix (quantized integer space). `k` is capped by the row

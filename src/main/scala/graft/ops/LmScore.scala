@@ -30,7 +30,12 @@ import org.apache.spark.sql.functions._
   * cache). |V| is derived from the unigram table (count of rows), never a
   * separate pass. Counts are hash aggregations (map-side partial); the
   * (w1, w2) model join is a plain shuffle join (model tables grow with the
-  * corpus; no broadcast assumption); the w1 unigram join is EXPLICITLY
+  * corpus; no broadcast assumption). The persisted projection lives until
+  * the caller releases it: one-shot jobs (CurateCli stages) release on
+  * session end, and the long-lived 62-query sweeps (Verify/Bench) clear the
+  * cache manager after each query — the bounded-cache discipline; a real
+  * lake deployment would checkpoint to parquet instead. The w1 unigram join
+  * is EXPLICITLY
   * SALTED ([[SkewJoin]]) — unigram keys are Zipf-distributed and stop words
   * are the canonical hot key, the north rule's explicit-skew case — then
   * one count-shaped aggregation per doc. Nothing is collected to the

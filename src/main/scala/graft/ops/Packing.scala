@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   *      — for a trillion-doc corpus at groupSize 4096 that is ~2.4e8 slim
   *      rows through the single-partition window, and raising `groupSize`
   *      shrinks it linearly;
-  *   4. broadcast-join the group offsets back and finish with a
-  *      `partitionBy(grp)` window, which parallelizes across groups.
+  *   4. join the group offsets back (AQE broadcasts when the group table is
+  *      small; past broadcast size it degrades to a shuffle join on `grp`)
+  *      and finish with a `partitionBy(grp)` window, which parallelizes
+  *      across groups.
   *
   * The result depends only on the canonical doc_id order, never on physical
   * partitioning — bit-identical across parallelism levels and engines.
@@ -49,7 +51,12 @@ object Packing {
       coalesce(sum(col("grp_tokens")).over(wg), lit(0L)).as("grp_offset"))
     val wi = Window.partitionBy(col("grp")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    toks.join(broadcast(grpOffsets), Seq("grp"))
+    // no broadcast hint on grpOffsets: at the documented trillion-doc scale
+    // the group table is ~corpus/groupSize rows — far past broadcastable —
+    // so the join must be allowed to degrade to a shuffle join on `grp`
+    // (AQE still broadcasts when the table is actually small, the common
+    // case; raising groupSize shrinks it linearly when it isn't)
+    toks.join(grpOffsets, Seq("grp"))
       .withColumn("tok_offset",
         col("grp_offset") + coalesce(sum(col("n_tokens")).over(wi), lit(0L)))
       .select(col("doc_id"), col("n_tokens"), col("tok_offset"),

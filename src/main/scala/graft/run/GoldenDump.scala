@@ -53,7 +53,7 @@ object GoldenDump {
       // q56's INPUT: the generated pages (url, html, text) — DuckDB re-runs
       // the whole html→text extraction on the pinned html bytes
       "q56_pages" -> ((s, _) =>
-        graft.kg.PagesGen.pages(s, 300L, 42L).toDF()
+        graft.kg.PagesGen.pages(s, graft.SparkEntry.KgPages, 42L).toDF()
           .select("url", "html", "text")))
 
   def auxPinFile(name: String): String = s"$GoldenOpsDir/$name.parquet"

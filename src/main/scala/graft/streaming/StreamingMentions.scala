@@ -34,14 +34,20 @@ object StreamingMentions {
     val spark = pages.sparkSession
     import spark.implicits._
     val withTs = pages.withWatermark("warc_ts", "30 minutes")
-    val mentions = withTs.as[Page].flatMap { p =>
-      // inline decode keeps the event-time column attached to each mention;
-      // forModel reuses the warmed decoder across rows AND micro-batches on
-      // the same task thread (keyed on the task's deserialized model)
-      val decoder = graft.crf.CrfDecoder.forModel(model)
-      if (p.lang != "en") Iterator.empty
-      else p.text.split('\n').iterator.flatMap(s => decoder.process(s))
-        .map(sp => (p.warc_ts, sp.entity))
+    // model crosses as a BROADCAST (not a closure capture): each micro-batch
+    // deserializes a fresh task closure, so a captured model would be a new
+    // object per batch and forModel's identity-keyed decoder cache would
+    // rebuild every batch — the broadcast value is per-executor-stable, so
+    // the warmed decoder really is reused across rows AND micro-batches
+    // (same discipline as StreamingTriples.rawTripleStream)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val mentions = withTs.as[Page].mapPartitions { iter =>
+      val decoder = graft.crf.CrfDecoder.forModel(bcModel.value)
+      iter.flatMap { p =>
+        if (p.lang != "en") Iterator.empty
+        else p.text.split('\n').iterator.flatMap(s => decoder.process(s))
+          .map(sp => (p.warc_ts, sp.entity))
+      }
     }.toDF("warc_ts", "entity")
     mentions
       .groupBy(window(col("warc_ts"), "10 minutes"), col("entity"))

@@ -85,6 +85,45 @@ class BpeSpec extends AnyFunSuite {
     assert(got === ref)
   }
 
+  test("hybrid trainer: driver-side fast path equals the distributed path merge by merge") {
+    // default bound → local fast path; maxFitWords = 0 forces distributed
+    val local = Bpe.learnMerges(docs, nMerges = 8)
+    val dist = Bpe.learnMerges(docs, nMerges = 8, maxFitWords = 0)
+    assert(local === dist)
+    assert(local === refLearn(corpus, 8))
+  }
+
+  test("fast path learns a 1000-merge vocabulary without per-merge Spark jobs") {
+    // rich enough vocabulary to sustain 1000 merges (distinct numbers/topics/
+    // entities each contribute their symbol-length-1 merge budget)
+    val big = (0 until 600).map(i => (i.toLong,
+      s"document number $i about topic${i % 37} token word$i with shared " +
+        s"phrasing and entity${i % 53} appearing repeatedly")).toDF("doc_id", "text")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val merges = Bpe.learnMerges(big, nMerges = 1000)
+      // listener events post asynchronously; all jobs finished before
+      // learnMerges returned, so poll until the counter stabilizes
+      var last = -1
+      var spins = 0
+      while (jobs.get() != last && spins < 30) {
+        last = jobs.get(); Thread.sleep(100); spins += 1
+      }
+      assert(merges.length === 1000)
+      // the whole train is ONE probing collect (a couple of jobs with AQE) —
+      // the distributed path would schedule ≥ 1000
+      assert(jobs.get() <= 6, s"expected a bounded-collect train, saw ${jobs.get()} jobs")
+      // spot-parity with the distributed trainer on the first merges
+      val dist = Bpe.learnMerges(big, nMerges = 25, maxFitWords = 0)
+      assert(merges.take(25) === dist)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("learnMerges stops early when no pairs remain") {
     val tiny = Seq((0L, "a b a")).toDF("doc_id", "text")
     // only 1-byte words: zero pairs at iteration 0

@@ -62,4 +62,43 @@ class VectorKernelsSpec extends AnyFunSuite {
     val r = df.select(graft.ops.Similarity.dot(col("x"), col("y")).as("d")).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  /** The pre-kernel k-means assignment: an array of k interpreted integer
+    * HOF folds + array_min + array_position, kept verbatim as reference. */
+  private def hofAssign(q: org.apache.spark.sql.Column, cents: Seq[Array[Long]]) = {
+    val dists = array(cents.map(c =>
+      aggregate(zip_with(q, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, v) => acc + v)): _*)
+    struct(
+      (array_position(dists, array_min(dists)) - 1).cast("long").as("cluster"),
+      array_min(dists).as("dist_sq"))
+  }
+
+  test("kmeans_argmin equals the HOF argmin (values, tie-break, codegen path)") {
+    // deterministic integer vectors, engineered collisions: vec 7 and 13
+    // are EQUIDISTANT from centroids 0 and 1 (tie must break to index 0)
+    val dim = 8
+    val vecs = (0L until 64L).map { id =>
+      (id, (0 until dim).map(i => graft.kg.Synth.splitmix64(id * 31 + i) % 1000L))
+    }.toDF("vec_id", "q")
+    val cents = IndexedSeq(
+      Array.fill(dim)(100L), Array.fill(dim)(100L), // identical → always tied
+      (0 until dim).map(i => (i * 57L) % 900L).toArray,
+      (0 until dim).map(i => 999L - i * 13L).toArray)
+    val kernel = org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.KmeansArgminExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(col("q")),
+        cents.map(_.clone).toArray))
+    val rows = vecs.select(col("vec_id"), kernel.as("k"), hofAssign(col("q"), cents).as("h"))
+      .collect()
+    assert(rows.length === 64)
+    rows.foreach { r =>
+      val (k, h) = (r.getStruct(1), r.getStruct(2))
+      assert(k.getLong(0) === h.getLong(0), s"cluster mismatch for ${r.getLong(0)}")
+      assert(k.getLong(1) === h.getLong(1), s"dist mismatch for ${r.getLong(0)}")
+    }
+    // the identical centroid pair proves ties break to the LOWEST index
+    assert(rows.exists(_.getStruct(1).getLong(0) === 0L))
+    assert(!rows.exists(_.getStruct(1).getLong(0) === 1L))
+  }
 }
