@@ -217,7 +217,12 @@ object KgPipeline {
       // sort_array: collect_list order depends on shuffle partitioning; the
       // pair orientation filter below needs text order (start ascending) —
       // struct comparison is lexicographic, so start must be the first field
-      .agg(sort_array(collect_list(struct($"start", $"end", $"entity", $"entity_id", $"score"))).as("ms"))
+      // (start is unique per sentence — links emits one row per start — so
+      // later fields never even tie-break). The entity KIND is NOT carried:
+      // it is definitionally the first 3 chars of entity_id (the links join
+      // matches on that prefix), so the per-mention structs crossing this
+      // exchange stay one string slimmer.
+      .agg(sort_array(collect_list(struct($"start", $"end", $"entity_id", $"score"))).as("ms"))
       .filter(size($"ms") >= 2)
 
     // only sentences whose text can yield SOME relation pattern need to cross
@@ -235,9 +240,11 @@ object KgPipeline {
 
     val pairs = joined.select($"url", $"text", explode(pairCombos($"ms")).as("pr"))
       .select($"url", $"text",
-        $"pr._1.start".as("s1"), $"pr._1.end".as("e1"), $"pr._1.entity".as("k1"),
+        $"pr._1.start".as("s1"), $"pr._1.end".as("e1"),
+        substring($"pr._1.entity_id", 1, 3).as("k1"),
         $"pr._1.entity_id".as("id1"), $"pr._1.score".as("sc1"),
-        $"pr._2.start".as("s2"), $"pr._2.end".as("e2"), $"pr._2.entity".as("k2"),
+        $"pr._2.start".as("s2"), $"pr._2.end".as("e2"),
+        substring($"pr._2.entity_id", 1, 3).as("k2"),
         $"pr._2.entity_id".as("id2"), $"pr._2.score".as("sc2"))
       .filter($"e1" < $"s2")
       .withColumn("between", expr("substring(text, e1 + 1, s2 - e1)"))

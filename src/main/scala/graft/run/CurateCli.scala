@@ -22,11 +22,17 @@ import graft.ops._
   *   lmscore    (with --min-logp) drop docs whose self-trained bigram-LM
   *              mean log-prob is below the threshold — the perplexity gate
   *   sample     deterministic md5-bucket mixture by language
+  *   pack       (with --pack <budget>) token-budget sequence packing over
+  *              the survivors: per-doc global token offset + the range of
+  *              fixed-budget training sequences it lands in — the manifest
+  *              a sharded packed-example writer consumes. This closes the
+  *              end-to-end story: pages → clean → dedup → decontam →
+  *              LM gate → sample → packed training sequences.
   *   report.json  funnel counts per stage
   *
   * Usage: CurateCli <outRoot> --input <documents parquet> [--cpus N]
   *        [--quality 0.5] [--rate 0.5] [--line-dedup]
-  *        [--benchmark <parquet>] [--min-logp -5.0]
+  *        [--benchmark <parquet>] [--min-logp -5.0] [--pack 2048]
   */
 object CurateCli {
 
@@ -45,7 +51,8 @@ object CurateCli {
         defaultRate = opts.get("--rate").map(_.toDouble).getOrElse(1.0),
         benchmarkDir = opts.get("--benchmark"),
         minLogP = opts.get("--min-logp").map(_.toDouble),
-        lineDedup = opts.contains("--line-dedup"))
+        lineDedup = opts.contains("--line-dedup"),
+        packBudget = opts.get("--pack").map(_.toLong))
       println(s"[curate] ${r.mkString(" ")}")
     } finally spark.stop()
   }
@@ -62,7 +69,8 @@ object CurateCli {
           log: String => Unit = println,
           benchmarkDir: Option[String] = None,
           minLogP: Option[Double] = None,
-          lineDedup: Boolean = false): Seq[String] = {
+          lineDedup: Boolean = false,
+          packBudget: Option[Long] = None): Seq[String] = {
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(inputDir)
     val hasLang = docs.columns.contains("lang")
@@ -134,13 +142,24 @@ object CurateCli {
         rates = Map.empty, defaultRate = defaultRate, textCol = "clean_text")
     }
 
+    // terminal stage: lay the curated survivors end-to-end in doc_id order
+    // and cut fixed-budget training sequences — the packed-example manifest
+    // (distributed two-level prefix sum; see ops.Packing)
+    val packed = packBudget.map { budget =>
+      Checkpoints.stage(spark, outRoot, "pack", log) {
+        Packing.packOffsets(
+          sampled.select(col("doc_id"), col("clean_text").as("text")), budget)
+      }
+    }
+
     val funnel = Seq(
       "input" -> nIn, "stats" -> stats.count(), "clean" -> clean.count(),
       "dedup" -> deduped.count()) ++
       (if (lineDedup) Seq("linededup" -> lineDeduped.count()) else Nil) ++
       benchmarkDir.map(_ => "decontam" -> decontam.count()) ++
       minLogP.map(_ => "lmscore" -> lmGated.count()) ++
-      Seq("sample" -> sampled.count())
+      Seq("sample" -> sampled.count()) ++
+      packed.map(p => "pack" -> p.count())
     val wall = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nIn / math.max(wall, 1e-9)
     // Locale.ROOT: the f-interpolator honors the JVM default locale — a

@@ -198,4 +198,43 @@ class CurateSpec extends AnyFunSuite {
     assert(snap() === before)
     assert(again === funnel)
   }
+
+  // ---- pack stage (--pack <budget>) ---------------------------------------
+
+  private lazy val packOutRoot = java.nio.file.Files.createTempDirectory("curate_pack_out").toString
+  private lazy val packFunnel = CurateCli.run(spark, packOutRoot, inputDir,
+    log = _ => (), packBudget = Some(64L))
+
+  test("pack stage: one manifest row per survivor, offsets are the exclusive cumsum") {
+    val c = packFunnel.map { s => val Array(k, v) = s.split("="); k -> v.toLong }.toMap
+    assert(c.contains("pack"))
+    assert(c("pack") === c("sample"), "every sampled survivor gets a packing row")
+    assert(graft.kg.Checkpoints.isComplete(packOutRoot, "pack"))
+    val rows = spark.read.parquet(s"$packOutRoot/pack")
+      .select("doc_id", "n_tokens", "tok_offset", "seq_start", "seq_end", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    // offset continuity: tok_offset(doc k) = Σ n_tokens of docs before it in
+    // doc_id order — the property a sharded packed-example writer relies on
+    var running = 0L
+    rows.foreach { case (id, n, off, s0, s1, nSeqs) =>
+      assert(off === running, s"offset gap at doc $id")
+      running += n
+      assert(s0 === off / 64, s"seq_start of $id")
+      assert(s1 === (if (n == 0) off / 64 else (off + n - 1) / 64), s"seq_end of $id")
+      assert(nSeqs === s1 - s0 + 1)
+    }
+  }
+
+  test("pack stage resume: invalidating pack reproduces identical layout") {
+    packFunnel
+    def snap() = spark.read.parquet(s"$packOutRoot/pack")
+      .select("doc_id", "tok_offset", "seq_start", "seq_end")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    val before = snap()
+    graft.kg.Checkpoints.invalidate(packOutRoot, "pack")
+    val again = CurateCli.run(spark, packOutRoot, inputDir,
+      log = _ => (), packBudget = Some(64L))
+    assert(snap() === before)
+    assert(again === packFunnel)
+  }
 }
