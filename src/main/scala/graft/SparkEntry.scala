@@ -31,7 +31,7 @@ object SparkEntry {
   /** documents ∪ a deterministic near-duplicate of every doc (one token
     * appended, id shifted) — gives the dedup/similarity operators real work
     * on the fixed-size documents table. Same construction in the oracles. */
-  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
     val d = t(spark, dir, "documents").select("doc_id", "text")
     d.union(d.select(col("doc_id") + 1000000, concat(col("text"), lit(" extratoken"))))
   }
@@ -41,7 +41,7 @@ object SparkEntry {
     * 8-words-per-line layout (the near-dup copies then share every full line
     * with their original — real cross-doc duplicate lines). Built from the
     * canonical tokenization and mirrored exactly by [[linesDocsSql]]. */
-  private def docsWithLines(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithLines(spark: SparkSession, dir: String): DataFrame = {
     val w = graft.ops.TextStats.words(col("text"))
     val nChunks = greatest(lit(1L), ceil(size(w) / lit(8.0)).cast("long"))
     docsWithDups(spark, dir).select(col("doc_id"),

@@ -105,6 +105,17 @@ object ScalingBench {
       // JVM keeps committed heap ~2g and young GCs run constantly; measured
       // 155 → 50 young GCs per executor on the full-pipeline probe
       " -Xms6g" +
+      // ZGC: the round-4/5 G1 decomposition showed co-tenant executor JVMs
+      // hitting allocation failure in lockstep, whose synchronized
+      // stop-the-world copy phases crawl on this host's shared throttled
+      // memory bus (17-42 s monster pauses; 49-325 s summed GC per 4-worker
+      // measurement). ZGC relocates CONCURRENTLY — sub-ms pauses, the bus
+      // traffic overlaps mutator work instead of stalling it: the 4-worker
+      // full-pipeline probe dropped 74 s wall / 113 s GC (G1 median) →
+      // 42 s wall / 6.8 s GC at ~1.19 cpu_ratio. This is the conf a real
+      // spark-submit deployment of this pipeline would ship
+      // (spark.executor.extraJavaOptions=-XX:+UseZGC).
+      " -XX:+UseZGC" +
       // experiment hook: extra executor JVM flags (GC logging, GC choice)
       sys.env.get("SPARK_GRAFT_EXEC_OPTS").map(" " + _).getOrElse("")
     val b = org.apache.spark.sql.SparkSession.builder()
