@@ -345,6 +345,13 @@ object SparkEntry {
     }),
     "q44_lm_score" -> ((s, dir) =>
       graft.ops.LmScore.meanLogProb(t(s, dir, "documents"))),
+    "q72_dsir" -> ((s, dir) => {
+      // DSIR importance selection: every 13th doc plays the high-quality
+      // target domain, the rest is the raw crawl to narrow
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      graft.ops.Dsir.select(docs.filter(col("doc_id") % 13 =!= 0),
+        docs.filter(col("doc_id") % 13 === 0), m = 100)
+    }),
     "q48_quality_mixture" -> ((s, dir) => {
       // importance sampling by quality band: higher-quality docs keep at a
       // higher rate — the mixture-reweighting step after scoring. Stratum =
@@ -588,6 +595,8 @@ object SparkEntry {
     "q64_semdedup" ->
       graft.ops.Kmeans.oracleSqlSemDedup(k = 8, iters = 5, dim = 64, threshold = 0.98),
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
+    "q72_dsir" -> graft.ops.Dsir.oracleSql(
+      rawWhere = "doc_id % 13 <> 0", targetWhere = "doc_id % 13 = 0", m = 100),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
                        FROM documents GROUP BY 1, 2),
@@ -860,6 +869,12 @@ object SparkEntry {
     "q68_host_graph" -> ((s, _) =>
       // domain-level rollup of the extracted link graph
       graft.kg.WebGraph.hostGraph(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
+    "q71_hits" -> ((s, _) =>
+      // fixed-point L1 HITS hubs/authorities over the extracted web graph —
+      // oracle re-extracts the edges from the pin and unrolls the iterations
+      graft.kg.Hits.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"), iterations = 8)),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1002,6 +1017,9 @@ object SparkEntry {
     "q66_web_pagerank" -> pagerankOracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       iterations = 10),
+    "q71_hits" -> graft.kg.Hits.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      iterations = 8),
     "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
