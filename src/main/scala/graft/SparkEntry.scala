@@ -352,6 +352,12 @@ object SparkEntry {
       graft.ops.Dsir.select(docs.filter(col("doc_id") % 13 =!= 0),
         docs.filter(col("doc_id") % 13 === 0), m = 100)
     }),
+    "q73_temp_sample" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureSample(
+        t(s, dir, "documents").select("doc_id", "lang", "text"))),
+    "q74_mix_budget" -> ((s, dir) =>
+      graft.ops.Sampling.mixBudget(
+        t(s, dir, "documents").select("doc_id", "source", "text"), MixBudgets)),
     "q48_quality_mixture" -> ((s, dir) => {
       // importance sampling by quality band: higher-quality docs keep at a
       // higher rate — the mixture-reweighting step after scoring. Stratum =
@@ -453,6 +459,13 @@ object SparkEntry {
       .select(col("doc_id"), Dedup.simhashBits(col("text")).as("sig"))
       .select(col("doc_id"), half(1).as("sig_hi"), half(33).as("sig_lo"))
   }
+
+  /** Fixed per-source token budgets for q74 (the mixing recipe): rates
+    * span keep-all (src2 at sf0.01), ~half, and near-zero, and shrink as
+    * the corpus grows — budgets are absolute, the operator adapts. */
+  private val MixBudgets: Map[String, Long] = Map(
+    "src0" -> 700L, "src1" -> 300L, "src2" -> 5000L,
+    "src3" -> 1000L, "src7" -> 1200L, "src19" -> 50L)
 
   /** Fixed BM25 query set for q39 (terms from the documents vocabulary). */
   private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
@@ -597,6 +610,8 @@ object SparkEntry {
     "q44_lm_score" -> graft.ops.LmScore.oracleSql(),
     "q72_dsir" -> graft.ops.Dsir.oracleSql(
       rawWhere = "doc_id % 13 <> 0", targetWhere = "doc_id % 13 = 0", m = 100),
+    "q73_temp_sample" -> graft.ops.Sampling.temperatureOracleSql,
+    "q74_mix_budget" -> graft.ops.Sampling.mixBudgetOracleSql(MixBudgets),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
                        FROM documents GROUP BY 1, 2),

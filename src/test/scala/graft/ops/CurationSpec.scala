@@ -103,6 +103,65 @@ class CurationSpec extends AnyFunSuite {
     assert(all.count() === docs.count())
   }
 
+  private def md5bucket(docId: Long, text: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$docId:$text".getBytes("UTF-8"))
+    d.take(2).map(b => f"${b & 0xff}%02x").mkString
+  }
+  private def hexThreshold(t: Long): String = if (t >= 65536) "g" else f"$t%04x"
+
+  test("temperature sample keeps the smallest language whole and matches an exact recompute") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val a = Sampling.temperatureSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    val b = Sampling.temperatureSample(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq === b.toSeq) // partitioning-independent
+
+    // exact driver-side recompute: thresholds, then the md5 keep predicate
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val counts = rows.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nMin = counts.values.min
+    val thr = counts.map { case (l, n) =>
+      l -> math.floor(65536.0 * math.sqrt(nMin.toDouble / n.toDouble)).toLong }
+    val expected = rows.filter { case (id, l, txt) =>
+      md5bucket(id, txt) < hexThreshold(thr(l)) }
+      .map { case (id, l, _) => (id, l, thr(l)) }.sortBy(_._1)
+    assert(a.toSeq === expected.toSeq)
+    // the rarest language (threshold 65536) is kept in full
+    val minLang = counts.minBy(_._2)._1
+    assert(thr(minLang) === 65536L)
+    assert(a.count(_._2 == minLang).toLong === counts(minLang))
+    // every other language is genuinely down-sampled
+    assert(counts.keys.filter(_ != minLang).forall(l => thr(l) < 65536L))
+  }
+
+  test("mixBudget drops unbudgeted sources and matches an exact recompute") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select("doc_id", "source", "text")
+    val budgets = Map("src0" -> 700L, "src2" -> 5000L, "src19" -> 50L)
+    val got = Sampling.mixBudget(docs, budgets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val again = Sampling.mixBudget(docs.repartition(13), budgets).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(got.toSeq === again.toSeq) // partitioning-independent
+
+    val ws = "[ \\t\\n\\f\\r]+" // the TextStats.tokenCount split set
+    def nTok(t: String): Long = { val s = t.trim; if (s.isEmpty) 0L else s.split(ws).length.toLong }
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val totals = rows.groupBy(_._2).view.mapValues(_.map(x => nTok(x._3)).sum).toMap
+    val thr = budgets.map { case (s, b) =>
+      s -> math.floor(65536.0 * math.min(1.0, b.toDouble / totals(s).toDouble)).toLong }
+    val expected = rows.filter { case (_, s, _) => budgets.contains(s) }
+      .filter { case (id, s, txt) => md5bucket(id, txt) < hexThreshold(thr(s)) }
+      .map { case (id, s, txt) => (id, s, nTok(txt), thr(s)) }.sortBy(_._1)
+    assert(got.toSeq === expected.toSeq)
+    assert(got.forall(r => budgets.contains(r._2))) // unbudgeted sources gone
+    assert(thr("src2") === 65536L) // over-budget source keeps everything
+    assert(got.count(_._2 == "src2").toLong === rows.count(_._2 == "src2"))
+  }
+
   // ------------------------------------------------------- Stats / ingest
 
   test("group quantiles equal driver-side sorted rank selection") {
