@@ -103,7 +103,10 @@ object Sampling {
   def temperatureSample(docs: DataFrame, alpha: Double = 0.5,
                         langCol: String = "lang", textCol: String = "text"): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    // persisted: consumed twice (thresholds + its min) — without it the
+    // lang-column scan replays for the 1-row min (the Dsir cq/cp discipline)
     val counts = docs.groupBy(col(langCol).as("lang")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nMin = counts.agg(min(col("n")).as("n_min")) // 1 row
     val ratio = col("n_min").cast("double") / col("n").cast("double")
     val rate = if (alpha == 0.5) sqrt(ratio) else pow(ratio, 1.0 - alpha)
