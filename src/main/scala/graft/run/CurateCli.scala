@@ -21,7 +21,10 @@ import graft.ops._
   *              benchmark/eval set — the decontamination gate
   *   lmscore    (with --min-logp) drop docs whose self-trained bigram-LM
   *              mean log-prob is below the threshold — the perplexity gate
-  *   sample     deterministic md5-bucket mixture by language
+  *   sample     deterministic md5-bucket mixture by language; with
+  *              --temp-alpha the stage is instead XLM-style temperature
+  *              rebalancing (rarest surviving language kept whole, others
+  *              down-sampled at (n_min/n_l)^(1-alpha))
   *   pack       (with --pack <budget>) token-budget sequence packing over
   *              the survivors: per-doc global token offset + the range of
   *              fixed-budget training sequences it lands in — the manifest
@@ -32,7 +35,8 @@ import graft.ops._
   *
   * Usage: CurateCli <outRoot> --input <documents parquet> [--cpus N]
   *        [--quality 0.5] [--rate 0.5] [--line-dedup]
-  *        [--benchmark <parquet>] [--min-logp -5.0] [--pack 2048]
+  *        [--benchmark <parquet>] [--min-logp -5.0] [--temp-alpha 0.5]
+  *        [--pack 2048]
   */
 object CurateCli {
 
@@ -52,6 +56,7 @@ object CurateCli {
         benchmarkDir = opts.get("--benchmark"),
         minLogP = opts.get("--min-logp").map(_.toDouble),
         lineDedup = opts.contains("--line-dedup"),
+        tempAlpha = opts.get("--temp-alpha").map(_.toDouble),
         packBudget = opts.get("--pack").map(_.toLong))
       println(s"[curate] ${r.mkString(" ")}")
     } finally spark.stop()
@@ -70,6 +75,7 @@ object CurateCli {
           benchmarkDir: Option[String] = None,
           minLogP: Option[Double] = None,
           lineDedup: Boolean = false,
+          tempAlpha: Option[Double] = None,
           packBudget: Option[Long] = None): Seq[String] = {
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(inputDir)
@@ -138,8 +144,19 @@ object CurateCli {
     }.getOrElse(decontam)
 
     val sampled = Checkpoints.stage(spark, outRoot, "sample", log) {
-      Sampling.stratifiedSample(lmGated, "lang",
-        rates = Map.empty, defaultRate = defaultRate, textCol = "clean_text")
+      tempAlpha match {
+        case Some(a) =>
+          // temperature rebalancing over the SURVIVING mixture: the rarest
+          // language after the gates is what gets kept whole (ops.Sampling
+          // scaladoc) — kept ids semi-join back to carry every column on
+          val kept = Sampling.temperatureSample(
+            lmGated.select(col("doc_id"), col("lang"),
+              col("clean_text").as("text")), alpha = a)
+          lmGated.join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+        case None =>
+          Sampling.stratifiedSample(lmGated, "lang",
+            rates = Map.empty, defaultRate = defaultRate, textCol = "clean_text")
+      }
     }
 
     // terminal stage: lay the curated survivors end-to-end in doc_id order

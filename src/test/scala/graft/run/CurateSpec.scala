@@ -199,6 +199,53 @@ class CurateSpec extends AnyFunSuite {
     assert(again === funnel)
   }
 
+  // ---- temperature-sample stage (--temp-alpha) ----------------------------
+  // PagesGen labels ~10% of pages "de" but all page TEXT is English-shaped,
+  // so both labels survive the text-keyed clean gates and the sample stage
+  // sees a genuinely imbalanced (en, de) mixture to rebalance.
+
+  private lazy val tempInputDir: String = {
+    val pages = graft.kg.PagesGen.pages(spark, 300L, 13L).toDF()
+      .select(regexp_extract($"url", "page/(\\d+)", 1).cast("long").as("doc_id"),
+        $"text", $"lang")
+    val dir = java.nio.file.Files.createTempDirectory("curate_temp_in").toString
+    pages.write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private lazy val tempOutRoot = java.nio.file.Files.createTempDirectory("curate_temp_out").toString
+  private lazy val tempFunnel = CurateCli.run(spark, tempOutRoot, tempInputDir,
+    log = _ => (), tempAlpha = Some(0.5))
+
+  test("temp-sample stage: rarest surviving language kept whole, majority down-sampled") {
+    val c = tempFunnel.map { s => val Array(k, v) = s.split("="); k -> v.toLong }.toMap
+    assert(c("sample") > 0 && c("sample") < c("dedup"))
+    def byLang(stage: String) = spark.read.parquet(s"$tempOutRoot/$stage")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val pre = byLang("dedup")
+    val post = byLang("sample")
+    assert(pre.keySet === Set("en", "de") && pre("en") > pre("de"),
+      s"need an imbalanced surviving mixture, got $pre")
+    // rarest language rides through whole; the majority thins toward
+    // sqrt(n_de/n_en) of itself (md5 buckets ≈ uniform)
+    assert(post("de") === pre("de"))
+    val target = math.sqrt(pre("de").toDouble / pre("en").toDouble)
+    assert(math.abs(post("en").toDouble / pre("en") - target) < 0.15,
+      s"en kept ${post("en")}/${pre("en")}, target ratio $target")
+  }
+
+  test("temp-sample resume: invalidating sample reproduces identical survivors") {
+    tempFunnel
+    def snap() = spark.read.parquet(s"$tempOutRoot/sample")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val before = snap()
+    graft.kg.Checkpoints.invalidate(tempOutRoot, "sample")
+    val again = CurateCli.run(spark, tempOutRoot, tempInputDir,
+      log = _ => (), tempAlpha = Some(0.5))
+    assert(snap() === before)
+    assert(again === tempFunnel)
+  }
+
   // ---- pack stage (--pack <budget>) ---------------------------------------
 
   private lazy val packOutRoot = java.nio.file.Files.createTempDirectory("curate_pack_out").toString
