@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.ops.{Dedup, Multimodal, Similarity, TextStats}
@@ -358,6 +358,19 @@ object SparkEntry {
     "q74_mix_budget" -> ((s, dir) =>
       graft.ops.Sampling.mixBudget(
         t(s, dir, "documents").select("doc_id", "source", "text"), MixBudgets)),
+    "q75_url_dedup" -> ((s, dir) =>
+      // crawl-shaped url variants synthesized deterministically per doc
+      // (identically in the oracle): scheme/host case, www., default ports,
+      // tracking params, /index.html, trailing slash, fragments — all of
+      // which must collapse; path case and the id param must survive
+      graft.ops.UrlNorm.dedupByUrl(
+        t(s, dir, "documents").select(col("doc_id"), syntheticUrl.as("url")))),
+    "q76_heavy_grams" -> ((s, dir) =>
+      graft.ops.HeavyHitters.heavyGrams(
+        t(s, dir, "documents"), n = 2, minCount = HeavyGramMinCount)),
+    "q77_quality_classifier" -> ((s, dir) =>
+      graft.ops.Perceptron.classify(
+        t(s, dir, "documents").select("doc_id", "text"), epochs = 5)),
     "q48_quality_mixture" -> ((s, dir) => {
       // importance sampling by quality band: higher-quality docs keep at a
       // higher rate — the mixture-reweighting step after scoring. Stratum =
@@ -466,6 +479,50 @@ object SparkEntry {
   private val MixBudgets: Map[String, Long] = Map(
     "src0" -> 700L, "src1" -> 300L, "src2" -> 5000L,
     "src3" -> 1000L, "src7" -> 1200L, "src19" -> 50L)
+
+  /** q76 threshold: bigram-frequency floor for the heavy-hitter sweep (the
+    * sf0.01 corpus has a Zipf head well above it, a long tail well below). */
+  private val HeavyGramMinCount = 25L
+
+  /** q75's synthetic crawl-variant url per doc, built IDENTICALLY here and
+    * in [[syntheticUrlSql]]. g = doc_id % 137 is the page identity: every
+    * normalization-relevant trait that must SURVIVE canonicalization
+    * (scheme, host, path, kept id param) derives from g alone, so all ~3-4
+    * crawl variants of a page normalize to one url; traits that must be
+    * STRIPPED (www., /index.html, trailing slash, tracking params,
+    * fragments) vary freely by doc_id to prove the stripping. */
+  private def syntheticUrl: Column = {
+    val d = col("doc_id")
+    val g = d % 137
+    concat(
+      when(g % 4 === 0, "HTTPS://").when(g % 4 === 1, "https://")
+        .when(g % 4 === 2, "HTTP://").otherwise("http://"),
+      when(d % 3 === 0, "WWW.").otherwise(""),
+      lit("Node"), (g % 50).cast("string"), lit(".Example.COM"),
+      when(g % 4 === 0, ":443").when(g % 4 === 2, ":80").otherwise(""),
+      lit("/Docs/"), g.cast("string"),
+      when(d % 3 === 0, "/index.html").when(d % 3 === 1, "/").otherwise(""),
+      lit("?utm_source=feed"),
+      when(g % 11 =!= 0, concat(lit("&id="), (g % 7).cast("string"))).otherwise(lit("")),
+      when(d % 2 === 0, concat(lit("&fbclid=x"), d.cast("string"))).otherwise(lit("")),
+      when(d % 5 === 0, concat(lit("&utm_campaign=c"), d.cast("string"))).otherwise(lit("")),
+      when(d % 7 === 0, concat(lit("#sec"), (d % 5).cast("string"))).otherwise(lit("")))
+  }
+
+  /** The DuckDB spelling of [[syntheticUrl]]. */
+  private val syntheticUrlSql: String =
+    """(CASE (doc_id%137)%4 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'https://'
+             WHEN 2 THEN 'HTTP://' ELSE 'http://' END)
+       || (CASE WHEN doc_id%3=0 THEN 'WWW.' ELSE '' END)
+       || 'Node' || CAST((doc_id%137)%50 AS VARCHAR) || '.Example.COM'
+       || (CASE (doc_id%137)%4 WHEN 0 THEN ':443' WHEN 2 THEN ':80' ELSE '' END)
+       || '/Docs/' || CAST(doc_id%137 AS VARCHAR)
+       || (CASE doc_id%3 WHEN 0 THEN '/index.html' WHEN 1 THEN '/' ELSE '' END)
+       || '?utm_source=feed'
+       || (CASE WHEN (doc_id%137)%11 <> 0 THEN '&id=' || CAST((doc_id%137)%7 AS VARCHAR) ELSE '' END)
+       || (CASE WHEN doc_id%2=0 THEN '&fbclid=x' || CAST(doc_id AS VARCHAR) ELSE '' END)
+       || (CASE WHEN doc_id%5=0 THEN '&utm_campaign=c' || CAST(doc_id AS VARCHAR) ELSE '' END)
+       || (CASE WHEN doc_id%7=0 THEN '#sec' || CAST(doc_id%5 AS VARCHAR) ELSE '' END)"""
 
   /** Fixed BM25 query set for q39 (terms from the documents vocabulary). */
   private val Bm25Queries: Seq[(Long, Seq[String])] = Seq(
@@ -612,6 +669,18 @@ object SparkEntry {
       rawWhere = "doc_id % 13 <> 0", targetWhere = "doc_id % 13 = 0", m = 100),
     "q73_temp_sample" -> graft.ops.Sampling.temperatureOracleSql,
     "q74_mix_budget" -> graft.ops.Sampling.mixBudgetOracleSql(MixBudgets),
+    "q75_url_dedup" ->
+      s"""WITH u AS (SELECT doc_id, $syntheticUrlSql AS url FROM documents),
+            n AS (SELECT doc_id, url,
+                  ${graft.ops.UrlNorm.normalizeSqlExpr("url")} AS url_norm FROM u)
+         SELECT doc_id, url, url_norm,
+                regexp_extract(url_norm, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+                (row_number() OVER (PARTITION BY url_norm ORDER BY doc_id) = 1) AS canonical,
+                count(*) OVER (PARTITION BY url_norm) AS n_dups
+         FROM n""",
+    "q76_heavy_grams" ->
+      graft.ops.HeavyHitters.oracleSql(n = 2, minCount = HeavyGramMinCount),
+    "q77_quality_classifier" -> graft.ops.Perceptron.oracleSql(epochs = 5),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
                        FROM documents GROUP BY 1, 2),
