@@ -371,6 +371,13 @@ object SparkEntry {
     "q77_quality_classifier" -> ((s, dir) =>
       graft.ops.Perceptron.classify(
         t(s, dir, "documents").select("doc_id", "text"), epochs = 5)),
+    "q78_pq_topk" -> ((s, dir) => {
+      // queries = every 211th corpus vector (3 at sf0.01) — the bounded
+      // driver-side collect the operator's contract requires
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      graft.ops.Pq.adcTopK(emb, emb.filter(col("vec_id") % 211 === 0),
+        m = 2, k = 4, iters = 3, topk = 10, dim = 64)
+    }),
     "q48_quality_mixture" -> ((s, dir) => {
       // importance sampling by quality band: higher-quality docs keep at a
       // higher rate — the mixture-reweighting step after scoring. Stratum =
@@ -681,6 +688,8 @@ object SparkEntry {
     "q76_heavy_grams" ->
       graft.ops.HeavyHitters.oracleSql(n = 2, minCount = HeavyGramMinCount),
     "q77_quality_classifier" -> graft.ops.Perceptron.oracleSql(epochs = 5),
+    "q78_pq_topk" -> graft.ops.Pq.oracleSql(k = 4, iters = 3, dim = 64,
+      topk = 10, queryWhere = "vec_id % 211 = 0"),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
                        FROM documents GROUP BY 1, 2),

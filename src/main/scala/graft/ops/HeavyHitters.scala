@@ -42,12 +42,17 @@ object HeavyHitters {
 
   /** All word n-grams occurring at least `minCount` times across the corpus,
     * with their EXACT counts. `d` (rows) and `w` (buckets/row) size the
-    * sketch: collision overestimate per row ≈ totalGrams/w, so pick
-    * w >> totalMass/minCount to keep the pass-2 candidate shuffle near the
-    * true-heavy mass (defaults are sized for the test SFs; a 100 TB run
-    * wants w ~ 2^22 — still only d·w·8 B ≈ 134 MB of broadcast). */
+    * sketch, and sizing is LOAD-BEARING: a row's expected bucket load is
+    * totalMass/w, and once that approaches `minCount` every bucket clears
+    * the threshold, the filter passes everything, and pass 2 silently
+    * degenerates to the full exact aggregation (benchmarked: w=1024 against
+    * ~10⁶ grams made q76 the most expensive query in the sweep). Pick
+    * w ≳ 50·totalMass/minCount. The default suits the test SFs; a 100 TB
+    * run wants w ~ 2^26 — d·w·8 B ≈ 2 GB sketch, still broadcastable after
+    * the (j,bucket) agg, and 9 orders below the distinct-gram table the
+    * exact one-pass plan would shuffle. */
   def heavyGrams(docs: DataFrame, n: Int, minCount: Long,
-                 d: Int = 4, w: Int = 1024,
+                 d: Int = 4, w: Int = 1 << 17,
                  textCol: String = "text"): DataFrame = {
     require(d >= 1 && w >= 2, s"degenerate sketch d=$d w=$w")
     // occurrences with their 8-byte key: recomputed per pass (scan-rate

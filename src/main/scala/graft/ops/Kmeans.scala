@@ -174,39 +174,44 @@ object Kmeans {
   // of the Spark plan; validated bit-identical to the numpy reference.
   // ====================================================================
 
-  /** CTE chain ending in `af AS (vec_id, cluster, dist)` — the final
-    * assignment over `srcRel` (a relation with vec_id + embedding). */
+  /** CTE chain ending in `{prefix}af AS (vec_id, cluster, dist)` — the final
+    * assignment over `srcRel` (a relation with vec_id + embedding). `prefix`
+    * namespaces every CTE so multiple chains compose in one WITH (the PQ
+    * oracle runs one chain per subspace). */
   def oracleCtes(k: Int, iters: Int, dim: Int, scale: Long,
-                 srcRel: String = "embeddings"): String = {
+                 srcRel: String = "embeddings", prefix: String = ""): String = {
+    val (qv, af, df) = (s"${prefix}qv", s"${prefix}af", s"${prefix}df")
     val sb = new StringBuilder(
-      s"""qv AS (SELECT vec_id, list_transform(embedding,
+      s"""$qv AS (SELECT vec_id, list_transform(embedding,
             x -> CAST(floor(CAST(x AS DOUBLE)*$scale) AS BIGINT)) AS q FROM $srcRel),
-          c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
-                 FROM qv ORDER BY vec_id LIMIT $k)""")
-    var prev = "c0"
+          ${prefix}c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, q AS c
+                 FROM $qv ORDER BY vec_id LIMIT $k)""")
+    var prev = s"${prefix}c0"
     for (it <- 1 to iters) {
+      val (d, a, s_, l, c) = (s"${prefix}d$it", s"${prefix}a$it",
+        s"${prefix}s$it", s"${prefix}l$it", s"${prefix}c$it")
       sb.append(s""",
-          d$it AS (SELECT qv.vec_id, $prev.j,
-                   sum((qv.q[g.i] - $prev.c[g.i]) * (qv.q[g.i] - $prev.c[g.i])) AS dist
-                   FROM qv, $prev, generate_series(1, $dim) AS g(i)
-                   GROUP BY qv.vec_id, $prev.j),
-          a$it AS (SELECT vec_id, j AS cluster FROM d$it
+          $d AS (SELECT $qv.vec_id, $prev.j,
+                   sum(($qv.q[g.i] - $prev.c[g.i]) * ($qv.q[g.i] - $prev.c[g.i])) AS dist
+                   FROM $qv, $prev, generate_series(1, $dim) AS g(i)
+                   GROUP BY $qv.vec_id, $prev.j),
+          $a AS (SELECT vec_id, j AS cluster FROM $d
                    QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1),
-          s$it AS (SELECT a$it.cluster AS j, g.i,
-                   CAST(floor(CAST(sum(qv.q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-                   FROM qv JOIN a$it USING (vec_id), generate_series(1, $dim) AS g(i)
+          $s_ AS (SELECT $a.cluster AS j, g.i,
+                   CAST(floor(CAST(sum($qv.q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+                   FROM $qv JOIN $a USING (vec_id), generate_series(1, $dim) AS g(i)
                    GROUP BY 1, 2),
-          l$it AS (SELECT j, list(v ORDER BY i) AS c FROM s$it GROUP BY j),
-          c$it AS (SELECT $prev.j, coalesce(l$it.c, $prev.c) AS c
-                   FROM $prev LEFT JOIN l$it USING (j))""")
-      prev = s"c$it"
+          $l AS (SELECT j, list(v ORDER BY i) AS c FROM $s_ GROUP BY j),
+          $c AS (SELECT $prev.j, coalesce($l.c, $prev.c) AS c
+                   FROM $prev LEFT JOIN $l USING (j))""")
+      prev = c
     }
     sb.append(s""",
-          df AS (SELECT qv.vec_id, $prev.j,
-                 sum((qv.q[g.i] - $prev.c[g.i]) * (qv.q[g.i] - $prev.c[g.i])) AS dist
-                 FROM qv, $prev, generate_series(1, $dim) AS g(i)
-                 GROUP BY qv.vec_id, $prev.j),
-          af AS (SELECT vec_id, j AS cluster, dist FROM df
+          $df AS (SELECT $qv.vec_id, $prev.j,
+                 sum(($qv.q[g.i] - $prev.c[g.i]) * ($qv.q[g.i] - $prev.c[g.i])) AS dist
+                 FROM $qv, $prev, generate_series(1, $dim) AS g(i)
+                 GROUP BY $qv.vec_id, $prev.j),
+          $af AS (SELECT vec_id, j AS cluster, dist FROM $df
                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) = 1)""")
     sb.toString
   }
