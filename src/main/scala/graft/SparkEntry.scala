@@ -36,6 +36,15 @@ object SparkEntry {
     d.union(d.select(col("doc_id") + 1000000, concat(col("text"), lit(" extratoken"))))
   }
 
+  /** Corpus with an EXACT copy of every 7th doc (id-shifted) — q82's input:
+    * substring-level dedup needs verbatim cross-doc windows to flag.
+    * Mirrored by the oracle's UNION ALL. */
+  private[graft] def docsWithExactCopies(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents").select("doc_id", "text")
+    d.union(d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id") + 4000000, col("text")))
+  }
+
   /** [[docsWithDups]] re-materialized as MULTI-LINE text: the word-salad docs
     * carry no newlines, so line-level operators get a deterministic
     * 8-words-per-line layout (the near-dup copies then share every full line
@@ -371,6 +380,13 @@ object SparkEntry {
     "q77_quality_classifier" -> ((s, dir) =>
       graft.ops.Perceptron.classify(
         t(s, dir, "documents").select("doc_id", "text"), epochs = 5)),
+    "q80_tfidf_keywords" -> ((s, dir) =>
+      graft.ops.Tfidf.keywords(t(s, dir, "documents").select("doc_id", "text"), k = 5)),
+    "q82_dup_ngrams" -> ((s, dir) =>
+      // exact duplicated-substring coverage; the corpus plants an exact copy
+      // of every 7th doc (id-shifted) so cross-doc duplicated windows exist —
+      // both the copy AND its source must light up with full coverage
+      graft.ops.SubstrDedup.dupNgramCoverage(docsWithExactCopies(s, dir), n = 8)),
     "q78_pq_topk" -> ((s, dir) => {
       // queries = every 211th corpus vector (3 at sf0.01) — the bounded
       // driver-side collect the operator's contract requires
@@ -690,6 +706,12 @@ object SparkEntry {
     "q77_quality_classifier" -> graft.ops.Perceptron.oracleSql(epochs = 5),
     "q78_pq_topk" -> graft.ops.Pq.oracleSql(k = 4, iters = 3, dim = 64,
       topk = 10, queryWhere = "vec_id % 211 = 0"),
+    "q80_tfidf_keywords" -> graft.ops.Tfidf.oracleSql(k = 5),
+    "q82_dup_ngrams" -> graft.ops.SubstrDedup.oracleSql(n = 8,
+      docsSql = """SELECT doc_id, text FROM documents
+                   UNION ALL
+                   SELECT doc_id + 4000000 AS doc_id, text FROM documents
+                   WHERE doc_id % 7 = 0"""),
     "q45_group_quantiles" ->
       """WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, count(*) AS c
                        FROM documents GROUP BY 1, 2),
@@ -968,6 +990,22 @@ object SparkEntry {
       graft.kg.Hits.run(
         graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
           .select("src", "dst"), iterations = 8)),
+    "q79_bfs_hops" -> ((s, _) =>
+      // depth-capped (12-hop crawl budget) multi-source BFS over the
+      // extracted web graph: seeds = a deterministic md5 1/16 slice of the
+      // node set (the q38 scan-side predicate family); oracle = depth-
+      // bounded recursive-CTE reachability over the pin's re-extracted edges
+      graft.kg.Bfs.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"),
+        seedPred = substring(md5(col("node")), 1, 1) === "0")),
+    "q81_kcore" -> ((s, _) =>
+      // k-core decomposition of the undirected page graph (peel k=3) — the
+      // link-farm/density prior next to q70's triangles; oracle unrolls the
+      // identical peel over the pin's re-extracted edges
+      graft.kg.KCore.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"), k = 3)),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1113,6 +1151,12 @@ object SparkEntry {
     "q71_hits" -> graft.kg.Hits.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       iterations = 8),
+    "q79_bfs_hops" -> graft.kg.Bfs.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      seedWhere = "substring(md5(node), 1, 1) = '0'"),
+    "q81_kcore" -> graft.kg.KCore.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      k = 3),
     "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
