@@ -1006,6 +1006,22 @@ object SparkEntry {
       graft.kg.KCore.run(
         graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
           .select("src", "dst"), k = 3)),
+    "q83_ppr" -> ((s, _) =>
+      // personalized PageRank from a deterministic md5 1/16 seed slice —
+      // the weighted companion of q79's hop budget (crawl prioritization /
+      // seed-relative entity relevance); oracle unrolls the fixed-point
+      // iterations over the pin's re-extracted edges bit-exactly
+      graft.kg.Ppr.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"),
+        seedPred = substring(md5(col("node")), 1, 1) === "1")),
+    "q84_link_predict" -> ((s, _) =>
+      // common-neighbor/Jaccard link prediction over the undirected page
+      // graph — the KG missing-edge suggester; oracle reruns the identical
+      // wedge/cap/anti-join/score chain in DuckDB
+      graft.kg.LinkPredict.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"), minCommon = 2)),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1157,6 +1173,12 @@ object SparkEntry {
     "q81_kcore" -> graft.kg.KCore.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       k = 3),
+    "q83_ppr" -> graft.kg.Ppr.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      seedWhere = "substring(md5(node), 1, 1) = '1'"),
+    "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      minCommon = 2),
     "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
