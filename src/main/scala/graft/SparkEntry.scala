@@ -1022,6 +1022,27 @@ object SparkEntry {
       graft.kg.LinkPredict.run(
         graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
           .select("src", "dst"), minCommon = 2)),
+    "q85_asof_attrib" -> ((s, dir) => {
+      // backward as-of join: attribute each purchase to the user's most
+      // recent click at-or-before its timestamp (the point-in-time lookup
+      // Spark lacks natively — same primitive as "policy snapshot in force
+      // at this warc_ts"); oracle is DuckDB's NATIVE ASOF LEFT JOIN, a
+      // genuinely independent engine implementation of the semantics
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      // parquet ts is TIMESTAMP_NTZ; cast to session-tz (UTC in Verify)
+      // timestamp for unix_micros — matches DuckDB's naive epoch_us
+      val us = (c: Column) => unix_micros(c.cast("timestamp"))
+      graft.ops.AsofJoin.backward(purchases, clicks, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"),
+          us(col("ts")).as("ts_us"), col("value"),
+          coalesce(col("asof_click_id"), lit(-1L)).as("attrib_click"),
+          coalesce(us(col("ts")) - us(col("asof_ts")), lit(-1L))
+            .as("gap_us"))
+    }),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1179,6 +1200,15 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q85_asof_attrib" ->
+      """WITH r AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
+                    WHERE event_type = 'click' GROUP BY 1, 2),
+              l AS (SELECT event_id, user_id, ts, value FROM events
+                    WHERE event_type = 'purchase')
+         SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+                coalesce(r.click_id, -1) AS attrib_click,
+                coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
+         FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
     "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
