@@ -1043,6 +1043,32 @@ object SparkEntry {
           coalesce(us(col("ts")) - us(col("asof_ts")), lit(-1L))
             .as("gap_us"))
     }),
+    "q86_range_windows" -> ((s, dir) => {
+      // point-in-interval range join: count click/view activity inside the
+      // ±30 min window around each purchase ("which fetches fall in each
+      // recrawl window" shape). Bin-and-verify equi-join — the raw
+      // inequality predicate would plan as BroadcastNestedLoopJoin; the
+      // oracle runs exactly that inequality join in DuckDB
+      val ev = t(s, dir, "events")
+      val us = unix_micros(col("ts").cast("timestamp"))
+      val half = 1800000000L // 30 min in micros = the bin width
+      val win = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("window_id"), col("user_id"),
+          (us - half).as("ws"), (us + half).as("we"))
+      val pts = ev.filter(col("event_type").isin("click", "view"))
+        .select(col("user_id"), us.as("t_us"), col("event_type"))
+      val hits = graft.ops.RangeJoin
+        .pointInInterval(pts, win, Seq("user_id"), "t_us", "ws", "we", binWidth = half)
+        .groupBy("window_id", "user_id")
+        .agg(count(lit(1)).as("n_hits"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"))
+      win.select("window_id", "user_id").join(hits, Seq("window_id", "user_id"), "left")
+        .select(col("window_id"), col("user_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("n_click"), lit(0L)).as("n_click"),
+          coalesce(col("n_view"), lit(0L)).as("n_view"))
+    }),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1209,6 +1235,22 @@ object SparkEntry {
                 coalesce(r.click_id, -1) AS attrib_click,
                 coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1) AS gap_us
          FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""",
+    "q86_range_windows" ->
+      """WITH w AS (SELECT event_id AS window_id, user_id,
+                    epoch_us(ts) - 1800000000 AS ws, epoch_us(ts) + 1800000000 AS we
+                    FROM events WHERE event_type = 'purchase'),
+              p AS (SELECT user_id, epoch_us(ts) AS t_us, event_type FROM events
+                    WHERE event_type IN ('click', 'view')),
+              h AS (SELECT w.window_id, w.user_id, count(*) AS n_hits,
+                    CAST(sum(CASE WHEN p.event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                    CAST(sum(CASE WHEN p.event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+                    FROM w JOIN p ON p.user_id = w.user_id
+                                 AND p.t_us >= w.ws AND p.t_us < w.we
+                    GROUP BY 1, 2)
+         SELECT w.window_id, w.user_id,
+                coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_click, 0) AS n_click,
+                coalesce(h.n_view, 0) AS n_view
+         FROM w LEFT JOIN h ON h.window_id = w.window_id""",
     "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
