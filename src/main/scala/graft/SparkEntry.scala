@@ -1069,6 +1069,21 @@ object SparkEntry {
           coalesce(col("n_click"), lit(0L)).as("n_click"),
           coalesce(col("n_view"), lit(0L)).as("n_view"))
     }),
+    "q87_fuzzy_link" -> ((s, dir) => {
+      // typo-tolerant alias matching: corpus vocabulary + deterministic
+      // middle-char-deleted variants (the docsWithDups discipline) matched
+      // against the vocabulary at edit distance <= 1 via FastSS deletion-
+      // neighborhood blocking; the oracle brute-forces all pairs with
+      // levenshtein in DuckDB — recall of the blocking is machine-checked
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0).distinct()
+      val p = (length(col("w")) / lit(2)).cast("int")
+      val variants = toks.filter(length(col("w")) >= 4)
+        .select(concat(col("w").substr(lit(1), p),
+          col("w").substr(p + lit(2), length(col("w")))).as("w"))
+      graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
+    }),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1251,6 +1266,18 @@ object SparkEntry {
                 coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_click, 0) AS n_click,
                 coalesce(h.n_view, 0) AS n_view
          FROM w LEFT JOIN h ON h.window_id = w.window_id""",
+    "q87_fuzzy_link" ->
+      """WITH raw AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                      FROM documents),
+              toks AS (SELECT DISTINCT w FROM raw WHERE length(w) > 0),
+              vars AS (SELECT substring(w, 1, length(w) // 2) ||
+                              substring(w, length(w) // 2 + 2) AS w
+                       FROM toks WHERE length(w) >= 4),
+              qs AS (SELECT w FROM toks UNION SELECT w FROM vars)
+         SELECT q.w AS query, d.w AS word,
+                CAST(levenshtein(q.w, d.w) AS BIGINT) AS dist
+         FROM qs q JOIN toks d ON abs(length(q.w) - length(d.w)) <= 1
+                               AND levenshtein(q.w, d.w) <= 1""",
     "q70_triangles" -> graft.kg.WebGraph.oracleSqlTriangles(
       graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q67_anchor_profile" -> graft.kg.WebGraph.oracleSqlAnchorProfile(
