@@ -1084,6 +1084,15 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q88_modularity" -> ((s, _) =>
+      // Newman modularity of the HOST partition of the page link graph —
+      // "how host-clustered is the linkage"; exact-integer numerators in
+      // decimal38 (4m·e_c and d_c² overflow Long at web scale), one IEEE
+      // division per row; oracle mirrors the formulation in HUGEINT
+      graft.kg.Modularity.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"),
+        community = graft.kg.WebGraph.host(_))),
     "q57_kg_cooccur" -> ((s, _) => {
       // sentence-level entity co-occurrence + NPMI over the live pipeline;
       // the oracle recomputes pairs/marginals/NPMI from the q51 links PIN in
@@ -1241,6 +1250,9 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q88_modularity" -> graft.kg.Modularity.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      commExpr = x => s"regexp_extract($x, '^https?://([^/]+)', 1)"),
     "q85_asof_attrib" ->
       """WITH r AS (SELECT user_id, ts, max(event_id) AS click_id FROM events
                     WHERE event_type = 'click' GROUP BY 1, 2),
