@@ -1075,9 +1075,11 @@ object SparkEntry {
       // against the vocabulary at edit distance <= 1 via FastSS deletion-
       // neighborhood blocking; the oracle brute-forces all pairs with
       // levenshtein in DuckDB — recall of the blocking is machine-checked
+      // vocabulary-sized after distinct — checkpoint so the corpus
+      // tokenize+distinct runs ONCE (it feeds variants, queries, and dict)
       val toks = t(s, dir, "documents")
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
-        .filter(length(col("w")) > 0).distinct()
+        .filter(length(col("w")) > 0).distinct().localCheckpoint()
       val p = (length(col("w")) / lit(2)).cast("int")
       val variants = toks.filter(length(col("w")) >= 4)
         .select(concat(col("w").substr(lit(1), p),
