@@ -1086,6 +1086,13 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q89_chunk_windows" -> ((s, dir) =>
+      // strided training-context chunking: 20-token windows every 15 tokens,
+      // tails < 5 tokens dropped unless they are the doc's only chunk; the
+      // md5 fingerprint makes the oracle verify chunk CONTENT, not just
+      // boundaries — pure scan-side expansion, zero shuffles
+      graft.ops.Chunker.chunk(t(s, dir, "documents").select("doc_id", "text"),
+        window = 20, stride = 15, minTail = 5)),
     "q88_modularity" -> ((s, _) =>
       // Newman modularity of the HOST partition of the page link graph —
       // "how host-clustered is the linkage"; exact-integer numerators in
@@ -1252,6 +1259,8 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q89_chunk_windows" -> graft.ops.Chunker.oracleSql(
+      window = 20, stride = 15, minTail = 5),
     "q88_modularity" -> graft.kg.Modularity.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       commExpr = x => s"regexp_extract($x, '^https?://([^/]+)', 1)"),
