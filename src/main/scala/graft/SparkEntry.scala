@@ -1086,6 +1086,18 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q90_theta_intersect" -> ((s, dir) => {
+      // KMV/theta sketch: estimate how many 3-gram shingles the near-dup
+      // variant corpus shares with the original WITHOUT joining the full
+      // shingle sets — each side reduces to k=256 minimum md5 hashes (a
+      // bounded TakeOrdered heap); the estimate is deterministic given the
+      // hash, so DuckDB recomputes it bit-exactly
+      val d = t(s, dir, "documents")
+      val aSet = d.select(explode(Dedup.shingles(col("text"))).as("x"))
+      val bSet = d.select(concat(col("text"), lit(" extratoken")).as("text"))
+        .select(explode(Dedup.shingles(col("text"))).as("x"))
+      graft.ops.ThetaSketch.intersectEstimate(aSet, "x", bSet, "x", k = 256)
+    }),
     "q89_chunk_windows" -> ((s, dir) =>
       // strided training-context chunking: 20-token windows every 15 tokens,
       // tails < 5 tokens dropped unless they are the doc's only chunk; the
@@ -1259,6 +1271,20 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q90_theta_intersect" -> {
+      def shingleSetSql(docsSql: String) =
+        s"""(WITH d0 AS ($docsSql),
+              toks AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM d0),
+              sh AS (SELECT CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                            ELSE list_distinct([array_to_string(t[i:i+2], ' ')
+                                                for i in range(1, len(t) - 1)])
+                            END AS s FROM toks)
+             SELECT unnest(s) AS x FROM sh)"""
+      graft.ops.ThetaSketch.oracleSql(
+        s"SELECT x FROM ${shingleSetSql("SELECT text FROM documents")}",
+        s"SELECT x FROM ${shingleSetSql("SELECT text || ' extratoken' AS text FROM documents")}",
+        k = 256)
+    },
     "q89_chunk_windows" -> graft.ops.Chunker.oracleSql(
       window = 20, stride = 15, minTail = 5),
     "q88_modularity" -> graft.kg.Modularity.oracleSqlFromEdges(
