@@ -1086,6 +1086,16 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q91_weighted_pagerank" -> ((s, _) =>
+      // link-multiplicity-weighted PageRank over the HOST rollup graph —
+      // a host linking another 10,000x passes proportionally more mass;
+      // per-source 2^20 fixed-point weight fractions keep every
+      // intermediate exact-Long at any weight magnitude; oracle unrolls
+      // the identical recurrence over the pin's re-extracted host edges
+      graft.kg.WeightedPageRank.run(
+        graft.kg.WebGraph.hostGraph(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select(col("src_host").as("src"), col("dst_host").as("dst"),
+            col("n_links").as("w")))),
     "q90_theta_intersect" -> ((s, dir) => {
       // KMV/theta sketch: estimate how many 3-gram shingles the near-dup
       // variant corpus shares with the original WITHOUT joining the full
@@ -1271,6 +1281,10 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q91_weighted_pagerank" -> graft.kg.WeightedPageRank.oracleSqlFromEdges(
+      s"""SELECT src_host AS src, dst_host AS dst, n_links AS w
+          FROM (${graft.kg.WebGraph.oracleSqlHostGraph(
+            graft.run.GoldenDump.auxPinFile("q56_pages"))})"""),
     "q90_theta_intersect" -> {
       def shingleSetSql(docsSql: String) =
         s"""(WITH d0 AS ($docsSql),
