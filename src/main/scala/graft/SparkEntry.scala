@@ -1086,6 +1086,13 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q92_adamic_adar" -> ((s, _) =>
+      // Adamic-Adar link prediction: the soft 1/ln(deg) mid weighting next
+      // to q84's hard cap — fixed-point Long weights (single-ln discipline),
+      // exact Long pair sums; oracle reruns the identical chain in DuckDB
+      graft.kg.LinkPredict.runAdamicAdar(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"), minCommon = 2)),
     "q91_weighted_pagerank" -> ((s, _) =>
       // link-multiplicity-weighted PageRank over the HOST rollup graph —
       // a host linking another 10,000x passes proportionally more mass;
@@ -1279,6 +1286,9 @@ object SparkEntry {
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       seedWhere = "substring(md5(node), 1, 1) = '1'"),
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
+      minCommon = 2),
+    "q92_adamic_adar" -> graft.kg.LinkPredict.oracleSqlAdamicAdar(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
     "q91_weighted_pagerank" -> graft.kg.WeightedPageRank.oracleSqlFromEdges(

@@ -64,6 +64,68 @@ object LinkPredict {
           (col("da") + col("db") - col("n_common")).cast("double"), 4).as("jaccard"))
   }
 
+  /** Adamic-Adar variant: non-adjacent distance-2 pairs scored
+    * Σ_mid 1/ln(deg(mid)) — the soft version of the `maxMidDeg` hard cap
+    * (a shared neighbor that links everything contributes ~nothing). Scores
+    * are fixed-point Longs: each mid node pays ONE `floor(10^6 / ln(deg))`
+    * (the single-ln discipline of q72/q80 — one libm call on an exact
+    * integer, one IEEE division, one floor, agreed bit-for-bit by both
+    * engines), and pair scores are exact Long SUMS of those — associative,
+    * partitioning-stable, oracle-recomputable. Same wedge/cap/anti-join
+    * shape and 100 TB story as [[run]]. */
+  def runAdamicAdar(edges: DataFrame, minCommon: Int = 2,
+                    maxMidDeg: Int = 1 << 20,
+                    srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(minCommon >= 1, s"minCommon must be >= 1, got $minCommon")
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint()
+    val d2 = und.select(col("u").as("src"), col("v").as("dst"))
+      .union(und.select(col("v").as("src"), col("u").as("dst")))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val deg = d2.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // mids in a wedge have >= 2 distinct neighbors, so ln(d) > 0 always
+    val d2w = d2.join(
+      deg.filter(col("d") <= maxMidDeg && col("d") >= 2) // deg-1 can't be a mid; ln(1)=0
+        .select(col("node").as("src"),
+          floor(lit(1000000.0) / log(col("d").cast("double"))).cast("long").as("w_fp")),
+      Seq("src"))
+    val wedges = d2w.as("e1").join(d2w.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .groupBy(col("e1.dst").as("a"), col("e2.dst").as("b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("e1.w_fp")).as("aa_fp"))
+      .filter(col("n_common") >= minCommon)
+    wedges.join(und,
+        wedges("a") === und("u") && wedges("b") === und("v"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("n_common"), col("aa_fp"))
+  }
+
+  /** DuckDB oracle for [[runAdamicAdar]]: identical chain, identical
+    * single-ln fixed-point mid weights. */
+  def oracleSqlAdamicAdar(edgeSql: String, minCommon: Int = 2,
+                          maxMidDeg: Int = 1 << 20): String =
+    s"""WITH und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                     FROM ($edgeSql) WHERE src <> dst),
+          d2 AS (SELECT u AS src, v AS dst FROM und UNION ALL SELECT v, u FROM und),
+          deg AS (SELECT src AS node, count(*) AS d FROM d2 GROUP BY src),
+          d2w AS (SELECT d2.src, d2.dst,
+                  CAST(floor(1000000.0 / ln(CAST(deg.d AS DOUBLE))) AS BIGINT) AS w_fp
+                  FROM d2 JOIN deg ON deg.node = d2.src
+                  WHERE deg.d <= $maxMidDeg AND deg.d >= 2),
+          w AS (SELECT e1.dst AS a, e2.dst AS b, count(*) AS n_common,
+                       CAST(sum(e1.w_fp) AS BIGINT) AS aa_fp
+                FROM d2w e1 JOIN d2w e2 ON e1.src = e2.src AND e1.dst < e2.dst
+                GROUP BY 1, 2
+                HAVING count(*) >= $minCommon)
+       SELECT w.a AS node_a, w.b AS node_b, CAST(w.n_common AS BIGINT) AS n_common,
+              w.aa_fp
+       FROM w LEFT JOIN und ON und.u = w.a AND und.v = w.b
+       WHERE und.u IS NULL"""
+
   /** DuckDB oracle: the identical wedge/cap/anti-join/score chain. Degrees
     * and counts are exact integers on both engines; the Jaccard double is
     * one division of exact Longs then `round(_, 4)` — the established

@@ -78,4 +78,49 @@ class LinkPredictSpec extends AnyFunSuite {
     assert(run(g, parts = 2) === run(g, parts = 11))
     assert(run(g, parts = 2) === reference(g, 2, 1 << 20))
   }
+
+  // ------------------------------------------------------------ Adamic-Adar
+
+  /** Reference AA: per-mid fixed-point weight, exact Long pair sums. */
+  private def referenceAa(edges: Seq[(String, String)], minCommon: Int)
+      : Map[(String, String), (Long, Long)] = {
+    val und = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter { case (a, b) => a != b }.distinct
+    val nbrs = (und ++ und.map(_.swap)).groupBy(_._1)
+      .map { case (n, es) => n -> es.map(_._2).toSet }
+    def w(m: String): Long = math.floor(1000000.0 / math.log(nbrs(m).size.toDouble)).toLong
+    val nodes = nbrs.keys.toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes; if a < b
+      if !nbrs(a).contains(b)
+      mids = (nbrs(a) intersect nbrs(b)).toSeq
+      if mids.size >= minCommon
+    } yield (a, b) -> (mids.size.toLong, mids.map(w).sum)).toMap
+  }
+
+  private def runAa(edges: Seq[(String, String)], minCommon: Int = 2, parts: Int = 3) =
+    LinkPredict.runAdamicAdar(edges.toDF("src", "dst").repartition(parts),
+        minCommon = minCommon)
+      .as[(String, String, Long, Long)].collect()
+      .map { case (a, b, c, s) => (a, b) -> (c, s) }.toMap
+
+  test("adamic-adar matches the fixed-point reference bit-for-bit") {
+    val g = square ++ Seq("c" -> "e", "d" -> "e", "a" -> "e", "b" -> "e")
+    assert(runAa(g, minCommon = 1) === referenceAa(g, 1))
+    assert(runAa(g) === referenceAa(g, 2))
+  }
+
+  test("a low-degree shared neighbor outweighs a high-degree one") {
+    // p-q share mid m (deg 2); r-s share hub h (deg 6)
+    val g = Seq("p" -> "m", "q" -> "m", "r" -> "h", "s" -> "h",
+      "h" -> "x1", "h" -> "x2", "h" -> "x3", "h" -> "x4")
+    val got = runAa(g, minCommon = 1)
+    assert(got(("p", "q"))._2 > got(("r", "s"))._2)
+    assert(got === referenceAa(g, 1))
+  }
+
+  test("adamic-adar scores are identical across input partitioning") {
+    val g = square ++ Seq("c" -> "e", "d" -> "e", "a" -> "e")
+    assert(runAa(g, parts = 2) === runAa(g, parts = 11))
+  }
 }
