@@ -1086,6 +1086,23 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q93_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sample-without-replacement as a
+      // bounded top-k: pick 200 docs with probability proportional to
+      // token count, deterministically (md5 draw + single-ln fixed-point
+      // key); oracle reruns the identical draw/key/order in DuckDB
+      graft.ops.Sampling.weightedTopK(
+        t(s, dir, "documents")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"),
+            size(split(trim(col("text")), "\\s+")).as("w")),
+        k = 200)),
+    "q94_clustering_coeff" -> ((s, _) =>
+      // local clustering coefficient per node — link-spam/boilerplate-ring
+      // detection normalized by degree; shares one materialized edge set
+      // with the triangle counter; oracle = q70 chain + degree join
+      graft.kg.WebGraph.clusteringCoeff(
+        graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())),
     "q92_adamic_adar" -> ((s, _) =>
       // Adamic-Adar link prediction: the soft 1/ln(deg) mid weighting next
       // to q84's hard cap — fixed-point Long weights (single-ln discipline),
@@ -1288,6 +1305,13 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q93_weighted_sample" -> graft.ops.Sampling.weightedTopKOracleSql(
+      k = 200,
+      docsSql = """SELECT doc_id AS id,
+                          len(string_split_regex(trim(text), '\s+')) AS w
+                   FROM documents WHERE length(trim(text)) > 0"""),
+    "q94_clustering_coeff" -> graft.kg.WebGraph.oracleSqlClusteringCoeff(
+      graft.run.GoldenDump.auxPinFile("q56_pages")),
     "q92_adamic_adar" -> graft.kg.LinkPredict.oracleSqlAdamicAdar(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),

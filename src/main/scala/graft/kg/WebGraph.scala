@@ -127,17 +127,25 @@ object WebGraph {
     * wedges of its own, bounding the join at O(m^1.5) instead of
     * O(m · maxDeg). No global rank/window: the orientation is a local
     * (deg, id) tuple comparison after one degree aggregation. */
-  def triangles(pages: DataFrame): DataFrame = {
-    // materialize the (slim, distinct) edge set once: deg and the
-    // orientation join reference `und` three times between them, and each
-    // un-materialized reference would re-run the html extraction
-    val und = links(pages)
+  def triangles(pages: DataFrame): DataFrame =
+    triangleCounts(undirected(pages))
+
+  /** The distinct undirected page edge set, materialized once — deg and the
+    * orientation join reference it three times between them, and each
+    * un-materialized reference would re-run the html extraction. */
+  private def undirected(pages: DataFrame): DataFrame =
+    links(pages)
       .select(least(col("src"), col("dst")).as("u"),
         greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint()
-    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+
+  private def degrees(und: DataFrame): DataFrame =
+    und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
+
+  private def triangleCounts(und: DataFrame): DataFrame = {
+    val deg = degrees(und)
     val o = und
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
@@ -163,6 +171,24 @@ object WebGraph {
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Local clustering coefficient per node: cc = 2·t / (d·(d−1)) — the
+    * link-spam / boilerplate-ring detector normalized by what the node's
+    * degree makes possible. EVERY node of the graph reports (zero-triangle
+    * and degree-1 nodes read cc = 0). Integers are exact Longs; cc is one
+    * IEEE division of exact Longs then the `round(_, 4)` canonicalization.
+    * Costs the triangle plan + one degree join — the undirected edge set is
+    * materialized once and shared. */
+  def clusteringCoeff(pages: DataFrame): DataFrame = {
+    val und = undirected(pages)
+    degrees(und).withColumnRenamed("n", "node")
+      .join(triangleCounts(und), Seq("node"), "left_outer")
+      .select(col("node"), col("d"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        when(col("d") < 2, lit(0.0)).otherwise(
+          round(coalesce(col("n_triangles"), lit(0L)).cast("double") * 2.0 /
+            (col("d") * (col("d") - 1L)).cast("double"), 4)).as("cc"))
+  }
+
   /** q70 oracle: identical degree-oriented enumeration from the pin. */
   def oracleSqlTriangles(pagesPin: String): String =
     s"""WITH l AS (SELECT url AS src,
@@ -181,6 +207,25 @@ object WebGraph {
                 ON (w.y = e3.a AND w.z = e3.b) OR (w.z = e3.a AND w.y = e3.b)),
           n AS (SELECT x AS node FROM t UNION ALL SELECT y FROM t UNION ALL SELECT z FROM t)
        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM n GROUP BY node"""
+
+  /** q94 oracle: the q70 triangle chain + the degree join and the
+    * round-4 canonicalized ratio. */
+  def oracleSqlClusteringCoeff(pagesPin: String): String =
+    s"""WITH tri AS (${oracleSqlTriangles(pagesPin)}),
+          l AS (SELECT url AS src,
+                unnest(regexp_extract_all(decode(html), '<a href="([^"]+)"', 1)) AS dst
+                FROM '$pagesPin'),
+          und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                  FROM l WHERE src <> dst),
+          deg AS (SELECT n AS node, count(*) AS d FROM
+                  (SELECT u AS n FROM und UNION ALL SELECT v FROM und) GROUP BY n)
+       SELECT deg.node, CAST(deg.d AS BIGINT) AS d,
+              CAST(coalesce(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+              CASE WHEN deg.d < 2 THEN 0.0
+                   ELSE round(CAST(coalesce(tri.n_triangles, 0) AS DOUBLE) * 2.0
+                              / CAST(deg.d * (deg.d - 1) AS DOUBLE), 4)
+              END AS cc
+       FROM deg LEFT JOIN tri ON tri.node = deg.node"""
 
   /** q65 oracle: the identical RE2 extraction over the pinned pages. */
   def oracleSqlLinks(pagesPin: String): String =

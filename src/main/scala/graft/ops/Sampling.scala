@@ -194,4 +194,51 @@ object Sampling {
        FROM s JOIN thr th ON th.source = s.source
        WHERE s.bucket < (CASE WHEN th.rate_fp >= 65536 THEN 'g' ELSE printf('%04x', th.rate_fp) END)"""
   }
+
+  // ------------------------------------------------- weighted top-k sample
+  /** Efraimidis–Spirakis weighted sampling WITHOUT replacement as a top-k:
+    * each row draws u ∈ (0,1] from md5(id) and ranks by key = u^(1/w) —
+    * equivalently ln(u)/w, larger is better — so P(pick) is proportional to
+    * weight w, exactly (the classic A-Res scheme, Efraimidis & Spirakis
+    * 2006). The quality-weighted corpus sampler: "take k docs, favoring
+    * high quality-score ones, deterministically and reproducibly".
+    *
+    * Determinism: u = (hex60(md5(id)) + 1) / 2^60 — the long→double
+    * conversion is correctly rounded identically in both engines and the
+    * division by a power of two is EXACT (pure exponent shift); the key is
+    * then the single-ln fixed-point discipline (one libm ln, one IEEE
+    * division by the exact weight, one ×10^9 floor) with id tie-breaks, so
+    * selection is bit-stable across engines and parallelism.
+    *
+    * Scale: one scan projecting (id, w, key_fp) slim rows into a bounded
+    * TakeOrdered heap — never a global sort, never a shuffle of the corpus.
+    */
+  def weightedTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+                   wCol: String = "w"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + 1.0) / math.pow(2.0, 60)
+    docs
+      .filter(col(wCol) > 0)
+      .select(col(idCol), col(wCol).cast("long").as("w"),
+        floor(log(u) / col(wCol).cast("double") * 1e9).cast("long").as("key_fp"))
+      .orderBy(col("key_fp").desc, col(idCol))
+      .limit(k)
+      .withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("key_fp").desc, col(idCol))).cast("long"))
+  }
+
+  /** DuckDB oracle for [[weightedTopK]]: identical draw, key, and order. */
+  def weightedTopKOracleSql(k: Int, docsSql: String): String =
+    s"""WITH d AS ($docsSql),
+          keyed AS (SELECT id AS doc_id, CAST(w AS BIGINT) AS w,
+                    CAST(floor(ln((CAST(CAST('0x' ||
+                        substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+                        + 1.0) / ${math.pow(2.0, 60).toLong}.0)
+                      / CAST(w AS DOUBLE) * 1e9) AS BIGINT) AS key_fp
+                    FROM d WHERE w > 0)
+       SELECT doc_id, w, key_fp,
+              CAST(row_number() OVER (ORDER BY key_fp DESC, doc_id) AS BIGINT) AS rnk
+       FROM keyed ORDER BY key_fp DESC, doc_id LIMIT $k"""
 }

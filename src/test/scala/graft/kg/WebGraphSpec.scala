@@ -107,6 +107,27 @@ class WebGraphSpec extends AnyFunSuite {
     assert(got === ref.toMap)
   }
 
+  test("clustering coefficient matches brute force; every node reports") {
+    val edges = WebGraph.links(pages).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => if (a < b) (a, b) else (b, a) }.toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ref = adj.map { case (n, nb) =>
+      val d = nb.size.toLong
+      val t = nb.toSeq.combinations(2).count { case Seq(x, y) => adj(x).contains(y) }.toLong
+      n -> ((d, t, if (d < 2) 0.0
+        else BigDecimal(t.toDouble * 2.0 / (d * (d - 1)).toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = WebGraph.clusteringCoeff(pages).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === ref.keySet, "every node of the graph must report")
+    assert(got === ref)
+    assert(got.values.forall { case (_, _, cc) => cc >= 0.0 && cc <= 1.0 })
+  }
+
   test("streaming link extraction equals batch exactly (stateless operator)") {
     val dir = java.nio.file.Files.createTempDirectory("pages_links").toString
     PagesGen.pages(spark, N, 42L).write.mode("overwrite").parquet(dir)
