@@ -127,8 +127,10 @@ object WebGraph {
     * wedges of its own, bounding the join at O(m^1.5) instead of
     * O(m · maxDeg). No global rank/window: the orientation is a local
     * (deg, id) tuple comparison after one degree aggregation. */
-  def triangles(pages: DataFrame): DataFrame =
-    triangleCounts(undirected(pages))
+  def triangles(pages: DataFrame): DataFrame = {
+    val und = undirected(pages)
+    triangleCounts(und, degrees(und))
+  }
 
   /** The distinct undirected page edge set, materialized once — deg and the
     * orientation join reference it three times between them, and each
@@ -144,8 +146,7 @@ object WebGraph {
     und.select(col("u").as("n")).union(und.select(col("v").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
 
-  private def triangleCounts(und: DataFrame): DataFrame = {
-    val deg = degrees(und)
+  private def triangleCounts(und: DataFrame, deg: DataFrame): DataFrame = {
     val o = und
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), Seq("u"))
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), Seq("v"))
@@ -180,8 +181,11 @@ object WebGraph {
     * materialized once and shared. */
   def clusteringCoeff(pages: DataFrame): DataFrame = {
     val und = undirected(pages)
-    degrees(und).withColumnRenamed("n", "node")
-      .join(triangleCounts(und), Seq("node"), "left_outer")
+    // |V|-sized and consumed by the orientation join, the cap, AND the
+    // final cc join — checkpoint so the degree aggregation runs once
+    val deg = degrees(und).localCheckpoint()
+    deg.withColumnRenamed("n", "node")
+      .join(triangleCounts(und, deg), Seq("node"), "left_outer")
       .select(col("node"), col("d"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
         when(col("d") < 2, lit(0.0)).otherwise(
