@@ -37,11 +37,19 @@ object Packing {
     * Output: doc_id, n_tokens, tok_offset (global start), seq_start,
     * seq_end (inclusive training-sequence ids), n_seqs. Empty docs occupy
     * zero tokens and report the boundary sequence they sit at. */
-  def packOffsets(docs: DataFrame, budget: Long, groupSize: Long = 4096): DataFrame = {
+  def packOffsets(docs: DataFrame, budget: Long, groupSize: Long = 4096): DataFrame =
+    packOffsetsCounted(docs.select(col("doc_id"),
+      TextStats.tokenCount(col("text")).cast("long").as("n_tokens")), budget, groupSize)
+
+  /** [[packOffsets]] over units whose token counts are ALREADY known —
+    * (doc_id, n_tokens) rows. This is how pre-chunked corpora pack (the
+    * chunk manifest carries n_tokens; re-tokenizing the text would both
+    * cost a scan and disagree with the chunker's boundaries). */
+  def packOffsetsCounted(units: DataFrame, budget: Long,
+                         groupSize: Long = 4096): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(groupSize >= 1, s"groupSize must be >= 1, got $groupSize")
-    val toks = docs.select(col("doc_id"),
-        TextStats.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val toks = units.select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"))
       .withColumn("grp", floor(col("doc_id") / lit(groupSize)).cast("long"))
     val grpTotals = toks.groupBy(col("grp")).agg(sum(col("n_tokens")).as("grp_tokens"))
     // global running offset over the per-group totals: 1/groupSize of the

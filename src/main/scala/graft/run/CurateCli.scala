@@ -25,6 +25,8 @@ import graft.ops._
   *              --temp-alpha the stage is instead XLM-style temperature
   *              rebalancing (rarest surviving language kept whole, others
   *              down-sampled at (n_min/n_l)^(1-alpha))
+  *   chunk      (with --chunk W,S,minTail) strided context-window cutting
+  *              of the survivors (ops.Chunker) ahead of packing
   *   pack       (with --pack <budget>) token-budget sequence packing over
   *              the survivors: per-doc global token offset + the range of
   *              fixed-budget training sequences it lands in — the manifest
@@ -57,6 +59,10 @@ object CurateCli {
         minLogP = opts.get("--min-logp").map(_.toDouble),
         lineDedup = opts.contains("--line-dedup"),
         tempAlpha = opts.get("--temp-alpha").map(_.toDouble),
+        chunkSpec = opts.get("--chunk").map { s =>
+          val Array(w, st, mt) = s.split(",").map(_.trim.toInt)
+          (w, st, mt)
+        },
         packBudget = opts.get("--pack").map(_.toLong))
       println(s"[curate] ${r.mkString(" ")}")
     } finally spark.stop()
@@ -76,6 +82,7 @@ object CurateCli {
           minLogP: Option[Double] = None,
           lineDedup: Boolean = false,
           tempAlpha: Option[Double] = None,
+          chunkSpec: Option[(Int, Int, Int)] = None,
           packBudget: Option[Long] = None): Seq[String] = {
     val t0 = System.nanoTime()
     val docs = spark.read.parquet(inputDir)
@@ -159,13 +166,30 @@ object CurateCli {
       }
     }
 
-    // terminal stage: lay the curated survivors end-to-end in doc_id order
-    // and cut fixed-budget training sequences — the packed-example manifest
-    // (distributed two-level prefix sum; see ops.Packing)
+    // optional pre-pack stage: cut long survivors into overlapping strided
+    // context windows (ops.Chunker); chunk unit id = doc_id·2^16 + chunk_idx
+    // so downstream packing orders chunks document-major deterministically
+    // (chunk_idx < 65536 holds for any doc under 65536·stride tokens)
+    val chunked = chunkSpec.map { case (w, st, mt) =>
+      Checkpoints.stage(spark, outRoot, "chunk", log) {
+        graft.ops.Chunker.chunk(
+          sampled.select(col("doc_id"), col("clean_text").as("text")), w, st, mt)
+      }
+    }
+
+    // terminal stage: lay the curated survivors (or their chunks) end-to-end
+    // in unit order and cut fixed-budget training sequences — the
+    // packed-example manifest (distributed two-level prefix sum; see
+    // ops.Packing)
     val packed = packBudget.map { budget =>
       Checkpoints.stage(spark, outRoot, "pack", log) {
-        Packing.packOffsets(
-          sampled.select(col("doc_id"), col("clean_text").as("text")), budget)
+        chunked match {
+          case Some(c) => Packing.packOffsetsCounted(
+            c.select((col("doc_id") * 65536L + col("chunk_idx")).as("doc_id"),
+              col("n_tokens")), budget)
+          case None => Packing.packOffsets(
+            sampled.select(col("doc_id"), col("clean_text").as("text")), budget)
+        }
       }
     }
 
@@ -176,6 +200,7 @@ object CurateCli {
       benchmarkDir.map(_ => "decontam" -> decontam.count()) ++
       minLogP.map(_ => "lmscore" -> lmGated.count()) ++
       Seq("sample" -> sampled.count()) ++
+      chunked.map(c => "chunk" -> c.count()) ++
       packed.map(p => "pack" -> p.count())
     val wall = (System.nanoTime() - t0) / 1e9
     val docsPerSec = nIn / math.max(wall, 1e-9)

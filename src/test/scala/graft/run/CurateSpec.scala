@@ -284,4 +284,47 @@ class CurateSpec extends AnyFunSuite {
     assert(snap() === before)
     assert(again === packFunnel)
   }
+
+  // ------------------------------------------------- chunk + pack composed
+  private lazy val chunkOutRoot = java.nio.file.Files.createTempDirectory("curate_chunk_out").toString
+  private lazy val chunkFunnel = CurateCli.run(spark, chunkOutRoot, inputDir,
+    log = _ => (), chunkSpec = Some((20, 15, 5)), packBudget = Some(64L))
+
+  test("chunk stage matches a direct Chunker run over the sampled survivors") {
+    val c = chunkFunnel.map { s => val Array(k, v) = s.split("="); k -> v.toLong }.toMap
+    assert(c.contains("chunk") && c.contains("pack"))
+    assert(c("chunk") >= c("sample"), "chunking never shrinks the unit count here")
+    assert(graft.kg.Checkpoints.isComplete(chunkOutRoot, "chunk"))
+    val direct = graft.ops.Chunker.chunk(
+        spark.read.parquet(s"$chunkOutRoot/sample")
+          .select($"doc_id", $"clean_text".as("text")), 20, 15, 5)
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    val staged = spark.read.parquet(s"$chunkOutRoot/chunk")
+      .select("doc_id", "chunk_idx", "start_tok", "n_tokens", "chunk_md5")
+      .as[(Long, Long, Long, Long, String)].collect().sorted.toSeq
+    assert(staged === direct)
+  }
+
+  test("pack over chunks: one row per chunk, offsets contiguous in unit order") {
+    val c = chunkFunnel.map { s => val Array(k, v) = s.split("="); k -> v.toLong }.toMap
+    assert(c("pack") === c("chunk"), "every chunk gets a packing row")
+    val rows = spark.read.parquet(s"$chunkOutRoot/pack")
+      .select("doc_id", "n_tokens", "tok_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    var running = 0L
+    rows.foreach { case (id, n, off) =>
+      assert(off === running, s"offset gap at unit $id")
+      running += n
+    }
+    // unit ids decompose back into (doc, chunk): every decomposed doc id is
+    // a sampled survivor, and its chunk indices are dense from 0
+    val sampledIds = spark.read.parquet(s"$chunkOutRoot/sample")
+      .select("doc_id").as[Long].collect().toSet
+    val byDoc = rows.groupBy { case (id, _, _) => id / 65536L }
+    assert(byDoc.keySet.subsetOf(sampledIds))
+    byDoc.foreach { case (doc, rs) =>
+      val idxs = rs.map { case (id, _, _) => id % 65536L }.sorted.toSeq
+      assert(idxs === (0L until idxs.size.toLong), s"chunk gap for doc $doc")
+    }
+  }
 }
