@@ -85,7 +85,39 @@ object ScaleSounding {
     "q69_cluster_sample" -> ((s: SparkSession, dir: String) =>
       graft.ops.Kmeans.clusterBalancedSample(
         s.read.parquet(s"$dir/embeddings.parquet").select("vec_id", "embedding"),
-        k = 8, iters = 5, cap = 20)))
+        k = 8, iters = 5, cap = 20)),
+    // round-5 additions: the FastSS pair miner (the only new op with a
+    // candidate-pair fan-out to bound), the KMV sketch (must stay k-bounded
+    // after the distincts), and the two pure scan-shape ops as linear
+    // controls
+    "q87_fuzzy_link" -> ((s: SparkSession, dir: String) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0).distinct().localCheckpoint()
+      val p = (length(col("w")) / lit(2)).cast("int")
+      val variants = toks.filter(length(col("w")) >= 4)
+        .select(concat(col("w").substr(lit(1), p),
+          col("w").substr(p + lit(2), length(col("w")))).as("w"))
+      graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
+    }),
+    "q90_theta_intersect" -> ((s: SparkSession, dir: String) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      graft.ops.ThetaSketch.intersectEstimate(
+        d.select(explode(graft.ops.Dedup.shingles(col("text"))).as("x")), "x",
+        d.select(concat(col("text"), lit(" extratoken")).as("text"))
+          .select(explode(graft.ops.Dedup.shingles(col("text"))).as("x")), "x",
+        k = 256)
+    }),
+    "q89_chunk_windows" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Chunker.chunk(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        window = 20, stride = 15, minTail = 5)),
+    "q93_weighted_sample" -> ((s: SparkSession, dir: String) =>
+      graft.ops.Sampling.weightedTopK(
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), size(split(trim(col("text")), "\\s+")).as("w")),
+        k = 200)))
 
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
