@@ -1086,6 +1086,27 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q95_fuzzy_clusters" -> ((s, dir) => {
+      // the typo-canonicalization flow COMPOSED: FastSS ED<=1 match pairs
+      // (q87) feed connected components (q53's algorithm) — surface variants
+      // collapse to a lexicographic-min canonical form; oracle = brute-force
+      // levenshtein pairs + the q28 recursive-CTE closure
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0).distinct().localCheckpoint()
+      val p = (length(col("w")) / lit(2)).cast("int")
+      val variants = toks.filter(length(col("w")) >= 4)
+        .select(concat(col("w").substr(lit(1), p),
+          col("w").substr(p + lit(2), length(col("w")))).as("w"))
+      val qs = toks.union(variants).distinct().localCheckpoint()
+      val pairs = graft.ops.FuzzyLink.matchEd1(qs, qs, "w", "w")
+        .filter(col("query") < col("word"))
+      graft.kg.ConnectedComponents.run(
+          qs.select(col("w").as("node")),
+          pairs.select(col("query").as("node_a"), col("word").as("node_b")))
+        .select(col("node").as("surface"), col("canon_id"),
+          (col("canon_id") === concat(lit("C:"), col("node"))).as("is_canon"))
+    }),
     "q93_weighted_sample" -> ((s, dir) =>
       // Efraimidis-Spirakis weighted sample-without-replacement as a
       // bounded top-k: pick 200 docs with probability proportional to
@@ -1305,6 +1326,27 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q95_fuzzy_clusters" ->
+      """WITH RECURSIVE raw AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+                                FROM documents),
+              toks AS (SELECT DISTINCT w FROM raw WHERE length(w) > 0),
+              vars AS (SELECT substring(w, 1, length(w) // 2) ||
+                              substring(w, length(w) // 2 + 2) AS w
+                       FROM toks WHERE length(w) >= 4),
+              qs AS (SELECT w FROM toks UNION SELECT w FROM vars),
+              jp AS (SELECT a.w AS a, b.w AS b FROM qs a JOIN qs b
+                     ON abs(length(a.w) - length(b.w)) <= 1
+                    AND a.w < b.w AND levenshtein(a.w, b.w) <= 1),
+              e AS (SELECT a AS src, b AS dst FROM jp
+                    UNION SELECT b, a FROM jp),
+              reach(node, lbl) AS (
+                SELECT src, src FROM e
+                UNION
+                SELECT e.src, r.lbl FROM e JOIN reach r ON r.node = e.dst),
+              m AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node)
+         SELECT q.w AS surface, 'C:' || coalesce(m.canon, q.w) AS canon_id,
+                (coalesce(m.canon, q.w) = q.w) AS is_canon
+         FROM qs q LEFT JOIN m ON m.node = q.w""",
     "q93_weighted_sample" -> graft.ops.Sampling.weightedTopKOracleSql(
       k = 200,
       docsSql = """SELECT doc_id AS id,
