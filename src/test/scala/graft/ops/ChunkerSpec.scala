@@ -76,4 +76,20 @@ class ChunkerSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, String)].collect().toSet
     assert(a === b)
   }
+
+  test("streaming chunking equals batch exactly (stateless scan-side operator)") {
+    val dir = java.nio.file.Files.createTempDirectory("chunk_stream").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(docs.toDF("doc_id", "text").schema)
+      .parquet(dir)
+    val q = Chunker.chunk(stream, 5, 3, 2)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM chunk_stream")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(got === run(docs, 5, 3, 2))
+  }
 }
