@@ -33,7 +33,16 @@ object HeavyHitters {
   /** Word n-gram OCCURRENCES (not per-doc distinct — heavy hitters count
     * total frequency) as strings, over [[TextStats.words]] tokens; docs
     * shorter than n contribute nothing. */
-  def gramStrings(text: Column, n: Int): Column = {
+  def gramStrings(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.WordGramsExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(text), n))
+
+  /** The HOF formulation [[gramStrings]]' native kernel replaced — kept as
+    * the parity reference (HeavyHittersSpec gates bit-identity; the kernel
+    * is one generated loop per row instead of an interpreted ArrayTransform
+    * with a concat_ws+slice per gram, the dominant scan cost of q76). */
+  private[graft] def gramStringsHof(text: Column, n: Int): Column = {
     val toks = TextStats.words(text)
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)),
@@ -53,11 +62,16 @@ object HeavyHitters {
     * exact one-pass plan would shuffle. */
   def heavyGrams(docs: DataFrame, n: Int, minCount: Long,
                  d: Int = 4, w: Int = 1 << 17,
-                 textCol: String = "text"): DataFrame = {
+                 textCol: String = "text"): DataFrame =
+    heavyGramsWith(docs, n, minCount, d, w, textCol, gramStrings)
+
+  private[graft] def heavyGramsWith(docs: DataFrame, n: Int, minCount: Long,
+                 d: Int, w: Int, textCol: String,
+                 gramFn: (Column, Int) => Column): DataFrame = {
     require(d >= 1 && w >= 2, s"degenerate sketch d=$d w=$w")
     // occurrences with their 8-byte key: recomputed per pass (scan-rate
     // column work — persisting a corpus-sized explode would be the mistake)
-    def occ = docs.select(explode(gramStrings(col(textCol), n)).as("gram"))
+    def occ = docs.select(explode(gramFn(col(textCol), n)).as("gram"))
       .select(col("gram"), xxhash64(col("gram")).as("gh"))
 
     // pass 1: the d×w counter matrix. The explode multiplies scan rows ×d

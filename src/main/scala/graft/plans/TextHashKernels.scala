@@ -109,6 +109,33 @@ object TextHash {
   // ---- static entry points for both the interpreted eval and the generated
   // code (called as graft.plans.TextHash$.MODULE$.<name> from Janino) ----
 
+  /** ALL word n-grams WITH multiplicity (the CMS/heavy-hitter occurrence
+    * stream — [[shingles]] deduplicates, this must not); fewer than n tokens
+    * ⇒ empty (exactly `ops.HeavyHitters.gramStrings`' `when(size < n, [])`
+    * branch, including the empty-text case via TextStats.words' empty-array
+    * guard). */
+  def gramsAllArray(input: UTF8String, n: Int): ArrayData = {
+    if (input.trim().numBytes() == 0) return new GenericArrayData(Array.empty[Any])
+    val toks = tokens(input)
+    val k = toks.length - (n - 1)
+    if (k <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](k)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def shinglesArray(input: UTF8String, n: Int): ArrayData = {
     val sh = shingles(input, n)
     val out = new Array[Any](sh.size)
@@ -212,6 +239,27 @@ case class WordShinglesExpression(child: Expression, n: Int)
       s"${ev.value} = graft.plans.TextHash$$.MODULE$$.shinglesArray($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpression =
+    copy(child = newChild)
+}
+
+/** `word_grams(text)` → array<string>: ALL word n-grams with multiplicity —
+  * the occurrence stream the CMS heavy-hitter sketch counts (shingles
+  * dedupe; a counting sketch must see every occurrence). */
+case class WordGramsExpression(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_grams"
+
+  override def nullSafeEval(input: Any): Any =
+    TextHash.gramsAllArray(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.TextHash$$.MODULE$$.gramsAllArray($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGramsExpression =
     copy(child = newChild)
 }
 

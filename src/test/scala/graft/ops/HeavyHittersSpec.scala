@@ -54,6 +54,21 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(run(Seq("a b", "a b"), 2, 2L) === Map("a b" -> 2L))
   }
 
+  test("native word_grams kernel is bit-identical to the HOF formulation") {
+    val edgy = corpus ++ Seq("a", "a b", "a b c", "  padded   tokens\there ",
+      "UPPER Case MiXeD", "x\ny\fz\rq")
+    val df = edgy.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val kernel = df.select(col("doc_id"),
+        HeavyHitters.gramStrings(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      val hof = df.select(col("doc_id"),
+        HeavyHitters.gramStringsHof(col("text"), n).as("g"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(kernel === hof, s"kernel/HOF divergence at n=$n")
+    }
+  }
+
   test("partitioning independence") {
     val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
