@@ -1086,6 +1086,16 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q96_containment" -> ((s, dir) => {
+      // asymmetric containment mining — the excerpt/quote detector Jaccard
+      // structurally misses (a 10-token excerpt of a 56-token doc scores
+      // containment 1.0 but jaccard ~0.15); input plants a first-10-token
+      // excerpt of every doc; oracle reruns the identical posting chain
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val excerpts = d.select((col("doc_id") + 3000000L).as("doc_id"),
+        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 10)).as("text"))
+      Dedup.containmentPairs(d.union(excerpts), threshold = 0.9, n = 3, maxDf = 2000)
+    }),
     "q95_fuzzy_clusters" -> ((s, dir) => {
       // the typo-canonicalization flow COMPOSED: FastSS ED<=1 match pairs
       // (q87) feed connected components (q53's algorithm) — surface variants
@@ -1326,6 +1336,27 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q96_containment" ->
+      s"""WITH alldocs AS (SELECT doc_id, text FROM documents
+                           UNION ALL
+                           SELECT doc_id + 3000000,
+                                  array_to_string(list_slice(
+                                    string_split_regex(trim(text), '\\s+'), 1, 10), ' ')
+                           FROM documents),
+            toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM alldocs),
+            sh AS (SELECT doc_id,
+                   CASE WHEN len(t) <= 2 THEN [array_to_string(t, ' ')]
+                        ELSE list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)])
+                   END AS s FROM toks),
+            posting AS (SELECT doc_id, len(s) AS n_sh, unnest(s) AS shingle FROM sh),
+            capped AS (SELECT * FROM (SELECT *, count(*) OVER (PARTITION BY shingle) AS df FROM posting)
+                       WHERE df <= 2000),
+            pairs AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+                      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2, 3, 4)
+         SELECT a AS doc_a, b AS doc_b, CAST(inter AS BIGINT) AS inter,
+                round(inter * 1.0 / least(na, nb), 4) AS containment
+         FROM pairs WHERE inter * 1.0 / least(na, nb) >= 0.9""",
     "q95_fuzzy_clusters" ->
       """WITH RECURSIVE raw AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
                                 FROM documents),

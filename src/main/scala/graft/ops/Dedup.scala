@@ -100,6 +100,33 @@ object Dedup {
       .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment near-dup pairs — the asymmetric score Jaccard structurally
+    * misses: a short document quoted verbatim inside a long one shares ALL
+    * its shingles (containment = inter/min(na,nb) = 1.0) yet scores jaccard
+    * ≈ na/nb ≈ 0. This is the quote/excerpt/boilerplate-inclusion detector
+    * of the dedup family. Identical group-then-pair posting plan as
+    * [[jaccardPairs]] (hashed postings, maxDf stop-shingle cap, one pass) —
+    * only the final ratio differs, so the 100 TB story is the same. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9, n: Int = 3,
+                       maxDf: Int = 50, textCol: String = "text"): DataFrame = {
+    val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
+    val posting = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+    val byShingle = posting.groupBy(col("shingle"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+    byShingle
+      .select(explode(pairCombos(col("ds"))).as("p"))
+      .select(col("p._1.doc_id").as("a"), col("p._2.doc_id").as("b"),
+        col("p._1.n_sh").as("na"), col("p._2.n_sh").as("nb"))
+      .groupBy("a", "b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("na"), col("nb")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), col("inter"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   // ------------------------------------------------------------ MinHash LSH
   /** k minhash values per doc: permutation i = xxhash64 of (shingle-hash, i)
     * (ANSI mode forbids the classic wrapping affine transform; per-seed
