@@ -1086,6 +1086,18 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q97_mirror_detect" -> ((s, _) => {
+      // cross-host mirror detection: an md5-sliced 1/8 of the pages is
+      // replanted under mirror.example (the crawl's republication case);
+      // fingerprints are over EXTRACTED text via the q56 chain, so the
+      // oracle re-derives both the mirrors and the fingerprints
+      val p = graft.kg.PagesGen.pages(s, KgPages, 42L).toDF()
+        .select(col("url"), col("html"))
+      val mirrors = p.filter(substring(md5(col("url")), 1, 1).isin("0", "1"))
+        .select(regexp_replace(col("url"), "^https?://([^/]+)",
+          "http://mirror.example").as("url"), col("html"))
+      graft.kg.Mirrors.detect(p.union(mirrors))
+    }),
     "q96_containment" -> ((s, dir) => {
       // asymmetric containment mining — the excerpt/quote detector Jaccard
       // structurally misses (a 10-token excerpt of a 56-token doc scores
@@ -1336,6 +1348,12 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q97_mirror_detect" -> graft.kg.Mirrors.oracleSql(
+      s"""SELECT url, html FROM '${graft.run.GoldenDump.auxPinFile("q56_pages")}'
+          UNION ALL
+          SELECT regexp_replace(url, '^https?://([^/]+)', 'http://mirror.example'), html
+          FROM '${graft.run.GoldenDump.auxPinFile("q56_pages")}'
+          WHERE substring(md5(url), 1, 1) IN ('0', '1')"""),
     "q96_containment" ->
       s"""WITH alldocs AS (SELECT doc_id, text FROM documents
                            UNION ALL
