@@ -1086,6 +1086,14 @@ object SparkEntry {
           col("w").substr(p + lit(2), length(col("w")))).as("w"))
       graft.ops.FuzzyLink.matchEd1(toks.union(variants).distinct(), toks, "w", "w")
     }),
+    "q98_assortativity" -> ((s, _) =>
+      // degree assortativity of the page link graph — the one-number web-
+      // graph shape diagnostic (negative = hub-and-spoke); all Pearson sums
+      // are exact integer products in decimal38, one guarded float
+      // expression at the end; oracle mirrors in HUGEINT
+      graft.kg.Assortativity.run(
+        graft.kg.WebGraph.links(graft.kg.PagesGen.pages(s, KgPages, 42L).toDF())
+          .select("src", "dst"))),
     "q97_mirror_detect" -> ((s, _) => {
       // cross-host mirror detection: an md5-sliced 1/8 of the pages is
       // replanted under mirror.example (the crawl's republication case);
@@ -1348,6 +1356,8 @@ object SparkEntry {
     "q84_link_predict" -> graft.kg.LinkPredict.oracleSqlFromEdges(
       graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages")),
       minCommon = 2),
+    "q98_assortativity" -> graft.kg.Assortativity.oracleSqlFromEdges(
+      graft.kg.WebGraph.oracleEdgeSql(graft.run.GoldenDump.auxPinFile("q56_pages"))),
     "q97_mirror_detect" -> graft.kg.Mirrors.oracleSql(
       s"""SELECT url, html FROM '${graft.run.GoldenDump.auxPinFile("q56_pages")}'
           UNION ALL
