@@ -29,9 +29,24 @@ object Checkpoints {
     } else {
       val t0 = System.nanoTime()
       compute.write.mode("overwrite").parquet(dir)
-      val rows = spark.read.parquet(dir).count()
+      // per-PARTITION lineage (north_rule): one row-count pass grouped by
+      // the physical part file, joined with on-disk bytes — the manifest
+      // names every partition of the snapshot, so a torn/short file is
+      // detectable and downstream audits can account work file-by-file
+      import org.apache.spark.sql.functions.{input_file_name, count, lit}
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
+        .collect()
+        .map(r => (r.getString(0).replaceFirst("^file:", ""), r.getLong(1)))
+        .sortBy(_._1)
+      val parts = perFile.map { case (f, n) =>
+        val p = Paths.get(f)
+        val bytes = if (Files.exists(p)) Files.size(p) else -1L
+        s"""{"file":"${p.getFileName}","rows":$n,"bytes":$bytes}"""
+      }.mkString("[", ",", "]")
+      val rows = perFile.map(_._2).sum
       val manifest =
-        s"""{"stage":"${name}","rows":$rows,"format":"parquet","committed":true}"""
+        s"""{"stage":"${name}","rows":$rows,"format":"parquet","committed":true,"partitions":$parts}"""
       Files.writeString(manifestPath(outRoot, name), manifest)
       log(f"[checkpoint] stage '$name' wrote $rows rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
