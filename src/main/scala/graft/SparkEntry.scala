@@ -938,9 +938,15 @@ object SparkEntry {
       val links = graft.kg.KgPipeline.links(kgMentions(s).as[graft.kg.MentionRow],
         graft.kg.KgPipeline.aliasDf(s))
       val triples = graft.kg.KgPipeline.triples(links, sents)
-      val out = triples.select($"subj".as("node"), lit(1L).as("o"), lit(0L).as("i"))
-      val in = triples.select($"obj".as("node"), lit(0L).as("o"), lit(1L).as("i"))
-      out.union(in).groupBy($"node")
+      // single-pass degree profile: the old out ∪ in union referenced the
+      // un-materialized triples plan TWICE, re-running the whole CRF chain
+      // per branch; exploding each triple into its two endpoint rows keeps
+      // one chain and identical sums
+      triples.select(explode(array(
+          struct($"subj".as("node"), lit(1L).as("o"), lit(0L).as("i")),
+          struct($"obj".as("node"), lit(0L).as("o"), lit(1L).as("i")))).as("x"))
+        .select($"x.node".as("node"), $"x.o".as("o"), $"x.i".as("i"))
+        .groupBy($"node")
         .agg(sum($"o").as("out_deg"), sum($"i").as("in_deg"))
         .withColumn("degree", col("out_deg") + col("in_deg"))
     }),
@@ -1076,9 +1082,10 @@ object SparkEntry {
       // neighborhood blocking; the oracle brute-forces all pairs with
       // levenshtein in DuckDB — recall of the blocking is machine-checked
       // vocabulary-sized after distinct — checkpoint so the corpus
-      // tokenize+distinct runs ONCE (it feeds variants, queries, and dict)
+      // tokenize+distinct runs ONCE (it feeds variants, queries, and dict).
+      // Explicit whitespace class: Java \s also matches U+000B, RE2 doesn't.
       val toks = t(s, dir, "documents")
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")).as("w"))
         .filter(length(col("w")) > 0).distinct().localCheckpoint()
       val p = (length(col("w")) / lit(2)).cast("int")
       val variants = toks.filter(length(col("w")) >= 4)
@@ -1113,7 +1120,7 @@ object SparkEntry {
       // excerpt of every doc; oracle reruns the identical posting chain
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val excerpts = d.select((col("doc_id") + 3000000L).as("doc_id"),
-        concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 10)).as("text"))
+        concat_ws(" ", slice(split(trim(col("text")), "[ \\t\\n\\f\\r]+"), 1, 10)).as("text"))
       Dedup.containmentPairs(d.union(excerpts), threshold = 0.9, n = 3, maxDf = 2000)
     }),
     "q95_fuzzy_clusters" -> ((s, dir) => {
@@ -1122,7 +1129,7 @@ object SparkEntry {
       // collapse to a lexicographic-min canonical form; oracle = brute-force
       // levenshtein pairs + the q28 recursive-CTE closure
       val toks = t(s, dir, "documents")
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+        .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")).as("w"))
         .filter(length(col("w")) > 0).distinct().localCheckpoint()
       val p = (length(col("w")) / lit(2)).cast("int")
       val variants = toks.filter(length(col("w")) >= 4)
@@ -1146,7 +1153,7 @@ object SparkEntry {
         t(s, dir, "documents")
           .filter(length(trim(col("text"))) > 0)
           .select(col("doc_id"),
-            size(split(trim(col("text")), "\\s+")).as("w")),
+            size(split(trim(col("text")), "[ \\t\\n\\f\\r]+")).as("w")),
         k = 200)),
     "q94_clustering_coeff" -> ((s, _) =>
       // local clustering coefficient per node — link-spam/boilerplate-ring

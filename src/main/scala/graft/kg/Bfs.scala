@@ -40,6 +40,17 @@ object Bfs {
     require(maxDepth >= 0, s"maxDepth must be >= 0, got $maxDepth")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .localCheckpoint()
+    // small-graph early-out: seeds evaluated by Catalyst over a
+    // LocalRelation node set, then a driver-local frontier BFS (bit-exact,
+    // LocalIterParitySpec)
+    val eCnt = e.count()
+    if (eCnt > 0 && eCnt <= LocalIter.maxEdges(e.sparkSession)) {
+      val localEdges = e.collect().map(r => (r.get(0), r.get(1)))
+      val nodeType = e.schema.fields(0).dataType
+      val seedSet = LocalIter.evalSeeds(e.sparkSession, nodeType,
+        LocalIter.nodeSet(localEdges), seedPred)
+      return LocalIter.bfs(e.sparkSession, nodeType, localEdges, seedSet, maxDepth)
+    }
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
       .distinct()
     var frontier = nodes.filter(seedPred).select(col("node"), lit(0L).as("dist"))

@@ -2,6 +2,7 @@ package graft.kg
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 /** Per-stage checkpointing with resume (north_rule: checkpoint-resumable
   * stages). Emulates an Iceberg-style snapshot layout with parquet dirs + a
@@ -34,17 +35,35 @@ object Checkpoints {
       // names every partition of the snapshot, so a torn/short file is
       // detectable and downstream audits can account work file-by-file
       import org.apache.spark.sql.functions.{input_file_name, count, lit}
-      val perFile = spark.read.parquet(dir)
+      // row counts keyed by DECODED file name: input_file_name() returns a
+      // URI-encoded path, so e.g. a space in the path would break a raw
+      // Paths.get probe
+      val rowsByFile = spark.read.parquet(dir)
         .groupBy(input_file_name().as("f")).agg(count(lit(1)).as("rows"))
         .collect()
-        .map(r => (r.getString(0).replaceFirst("^file:", ""), r.getLong(1)))
-        .sortBy(_._1)
-      val parts = perFile.map { case (f, n) =>
-        val p = Paths.get(f)
-        val bytes = if (Files.exists(p)) Files.size(p) else -1L
-        s"""{"file":"${p.getFileName}","rows":$n,"bytes":$bytes}"""
+        .map { r =>
+          val raw = r.getString(0)
+          val name = try Paths.get(new java.net.URI(raw).getPath).getFileName.toString
+          catch { case _: Exception => Paths.get(raw.replaceFirst("^file:", "")).getFileName.toString }
+          name -> r.getLong(1)
+        }.toMap
+      // the DIRECTORY listing is the authoritative partition set: a
+      // zero-row part file produces no input_file_name group and would
+      // otherwise vanish from the manifest (exactly the torn/short-file
+      // case the manifest exists to detect)
+      val partFiles = {
+        val s = Files.list(Paths.get(dir))
+        try s.iterator().asScala
+          .filter(p => { val n = p.getFileName.toString
+            n.startsWith("part-") && n.endsWith(".parquet") })
+          .toArray.sortBy(_.getFileName.toString)
+        finally s.close()
+      }
+      val parts = partFiles.map { p =>
+        val n = p.getFileName.toString
+        s"""{"file":"$n","rows":${rowsByFile.getOrElse(n, 0L)},"bytes":${Files.size(p)}}"""
       }.mkString("[", ",", "]")
-      val rows = perFile.map(_._2).sum
+      val rows = rowsByFile.values.sum
       val manifest =
         s"""{"stage":"${name}","rows":$rows,"format":"parquet","committed":true,"partitions":$parts}"""
       Files.writeString(manifestPath(outRoot, name), manifest)

@@ -34,6 +34,31 @@ object ConnectedComponents {
       .distinct()
       .localCheckpoint()
 
+    // small-graph early-out: union-find over the collected edge set with
+    // UTF-8-byte-order component minima (identical to the min-label
+    // fixpoint — parity-gated in LocalIterParitySpec), labels rejoined to
+    // the node frame as a broadcast so isolated nodes still label
+    // themselves. Bound doubled — `sym` carries both edge directions.
+    val symCnt = sym.count()
+    val ordOpt = LocalIter.orderingFor(sym.schema.fields(0).dataType)
+    if (symCnt <= 2 * LocalIter.maxEdges(sym.sparkSession) && ordOpt.isDefined) {
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val nodeType = sym.schema.fields(0).dataType
+      val lbl = LocalIter.ccLabels(sym.collect().map(r => (r.get(0), r.get(1))), ordOpt.get)
+      val lblDf = LocalIter.localDf(sym.sparkSession,
+        StructType(Seq(StructField("node", nodeType), StructField("comp", nodeType))),
+        lbl.toSeq.map { case (n, c) => org.apache.spark.sql.Row(n, c) })
+      return nodes.select(col("node")).distinct()
+        .join(broadcast(lblDf), Seq("node"), "left")
+        .select(col("node"),
+          concat(lit("C:"), coalesce(col("comp"), col("node"))).as("canon_id"))
+        // lineage cut, like the distributed path's checkpointed labels:
+        // callers self-join this result against the frames `nodes` derives
+        // from (q53 canonical ⋈ surfaces) — with the node lineage still
+        // inside, that join trips Spark's ambiguous-self-join detection
+        .localCheckpoint()
+    }
+
     var labels = nodes.select(col("node"), col("node").as("comp")).distinct()
       .localCheckpoint()
     var converged = false

@@ -46,6 +46,11 @@ object Hits {
           srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .localCheckpoint()
+    // small-graph early-out (bit-exact driver-local loop, LocalIterParitySpec)
+    val eCnt = e.count()
+    if (eCnt > 0 && eCnt <= LocalIter.maxEdges(e.sparkSession))
+      return LocalIter.hits(e.sparkSession, e.schema.fields(0).dataType,
+        e.collect().map(r => (r.get(0), r.get(1))), iterations)
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
       .distinct().localCheckpoint()
     val n = nodes.count()

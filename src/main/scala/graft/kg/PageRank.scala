@@ -45,6 +45,13 @@ object PageRank {
       // rounds produce a 2^10-reference tree that OOMs plan stringification
       // long before any data moves. Same pattern as ConnectedComponents.
       .localCheckpoint()
+    // small-graph early-out: below the bound the whole fixpoint runs as a
+    // driver-local loop with identical Long arithmetic (bit-exact,
+    // LocalIterParitySpec); the count is a cheap cached-RDD scan
+    val eCnt = e.count()
+    if (eCnt > 0 && eCnt <= LocalIter.maxEdges(e.sparkSession))
+      return LocalIter.pageRank(e.sparkSession, e.schema.fields(0).dataType,
+        e.collect().map(r => (r.get(0), r.get(1))), iterations)
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))

@@ -38,6 +38,18 @@ object Ppr {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
       .repartition(col("src"))
       .localCheckpoint() // lineage truncation — the iterative-job invariant
+    // small-graph early-out: the seed predicate is evaluated by Catalyst
+    // over a LocalRelation of the node set (identical expression
+    // semantics), then the fixpoint runs driver-local (bit-exact,
+    // LocalIterParitySpec)
+    val eCnt = e.count()
+    if (eCnt > 0 && eCnt <= LocalIter.maxEdges(e.sparkSession)) {
+      val localEdges = e.collect().map(r => (r.get(0), r.get(1)))
+      val nodeType = e.schema.fields(0).dataType
+      val seedSet = LocalIter.evalSeeds(e.sparkSession, nodeType,
+        LocalIter.nodeSet(localEdges), seedPred)
+      return LocalIter.ppr(e.sparkSession, nodeType, localEdges, seedSet, iterations)
+    }
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint()
     val nodes = e.select(col("src").as("node")).union(e.select(col("dst").as("node")))

@@ -38,6 +38,12 @@ object WeightedPageRank {
       .groupBy("src", "dst").agg(sum(col("w")).as("w"))
       .repartition(col("src"))
       .localCheckpoint()
+    // small-graph early-out (bit-exact driver-local loop incl. the
+    // positive-weight requirement, LocalIterParitySpec)
+    val eCnt = e0.count()
+    if (eCnt > 0 && eCnt <= LocalIter.maxEdges(spark))
+      return LocalIter.weightedPageRank(spark, e0.schema.fields(0).dataType,
+        e0.collect().map(r => (r.get(0), r.get(1), r.getLong(2))), iterations)
     require(e0.filter(col("w") <= 0L).isEmpty, "edge weights must be positive")
     val wOut = e0.groupBy("src").agg(sum(col("w")).as("w_src"))
     val eFrac = e0.join(wOut, "src")

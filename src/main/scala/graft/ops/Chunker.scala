@@ -34,9 +34,14 @@ object Chunker {
       s"need 1 <= stride <= window, got window=$window stride=$stride")
     require(minTail >= 1 && minTail <= window,
       s"need 1 <= minTail <= window, got minTail=$minTail")
+    // guard mirrors the oracle's `WHERE length(trim(text)) > 0` exactly: SQL
+    // trim strips only spaces, so a doc starting with a tab/newline is KEPT
+    // and tokenizes with its leading empty token on both engines (the old
+    // first-token-length guard silently dropped such docs). Split uses the
+    // explicit whitespace class — Java \s also matches U+000B, RE2's doesn't.
     val toks = docs
-      .select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("t"))
-      .filter(length(element_at(col("t"), 1)) > 0) // whitespace-only → [""]
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+").as("t"))
       .withColumn("n", size(col("t")).cast("long"))
     toks
       .select(col(idCol), col("t"), col("n"),

@@ -240,13 +240,20 @@ object Dedup {
     // attribute, the split runs once per doc — inlined, Spark re-evaluates
     // the full tokenize inside the per-span lambda (once per SPAN)
     val withToks = docs.select(col("doc_id"),
-      split(lower(trim(col(textCol))), "\\s+").as("toks"))
+      split(lower(trim(col(textCol))), "[ \\t\\n\\f\\r]+").as("toks"))
     val nSpans = greatest(lit(1), ceil(size(col("toks")).cast("double") / span).cast("int"))
+    // the span text exists only inside this projection (the exchange still
+    // carries hashes, never text); TWO independent 64-bit hashes key the
+    // keep-first window — the lineDedup collision discipline without
+    // shuffling the text: a silent dup-stat inflation now needs a
+    // simultaneous 128-bit collision
     val spans = withToks.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nSpans - 1),
-          i => xxhash64(array_join(slice(col("toks"), i * span + 1, lit(span)), " ")))))
-      .select(col("doc_id"), col("pos").as("span_idx"), col("col").as("span_hash"))
-    val w = Window.partitionBy(col("span_hash")).orderBy(col("doc_id"), col("span_idx"))
+          i => array_join(slice(col("toks"), i * span + 1, lit(span)), " "))))
+      .select(col("doc_id"), col("pos").as("span_idx"),
+        xxhash64(col("col")).as("span_hash"), xxhash64(lit(1L), col("col")).as("span_hash2"))
+    val w = Window.partitionBy(col("span_hash"), col("span_hash2"))
+      .orderBy(col("doc_id"), col("span_idx"))
     spans.withColumn("rn", row_number().over(w))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),

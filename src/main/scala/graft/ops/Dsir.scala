@@ -47,7 +47,8 @@ object Dsir {
     * multiplicity kept), hashed to its md5-prefix bucket. Empty/whitespace
     * docs contribute nothing (and are therefore never selected). */
   def grams(docs: DataFrame): DataFrame = {
-    val t = split(lower(trim(col("text"))), "\\s+")
+    // explicit whitespace class: Java \s also matches U+000B, RE2's doesn't
+    val t = split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")
     val bigrams = zip_with(
       slice(col("t"), lit(1), size(col("t")) - 1),
       slice(col("t"), lit(2), size(col("t")) - 1),

@@ -72,6 +72,14 @@ object Kmeans {
       .select(col(idCol).cast("long").as("vec_id"), quantize(col(vecCol), scale).as("q"))
       .persist()
     try {
+      // bounded-corpus early-out: ONE collect of the slim quantized
+      // projection replaces `iters` assignment+aggregation jobs — identical
+      // exact-integer Lloyd arithmetic (KmeansLocalParitySpec); the
+      // distributed loop below is the path above the bound
+      val nRows = qdf.count()
+      if (nRows > 0 && nRows <= graft.kg.LocalIter.maxEdges(embeddings.sparkSession))
+        return fitLocal(
+          qdf.collect().map(r => (r.getLong(0), r.getSeq[Long](1).toArray)), k, iters)
       var cents: IndexedSeq[Array[Long]] = qdf.orderBy("vec_id").limit(k).collect()
         .map(_.getSeq[Long](1).toArray).toIndexedSeq
       require(cents.nonEmpty, "k-means on an empty corpus")
@@ -93,6 +101,52 @@ object Kmeans {
       }
       cents
     } finally { qdf.unpersist(); () }
+  }
+
+  /** Driver-local Lloyd loop — the [[fit]] arithmetic verbatim: exact Long
+    * squared distances, ties to the lowest cluster index, floor(sum/count)
+    * centroid updates in double (sums < 2^53 ⇒ exact), empty clusters keep
+    * their previous centroid, seeds = the k smallest ids' vectors. */
+  private def fitLocal(rows: Array[(Long, Array[Long])], k: Int,
+                       iters: Int): IndexedSeq[Array[Long]] = {
+    val data = rows.sortBy(_._1)
+    var cents: IndexedSeq[Array[Long]] = data.take(k).map(_._2.clone).toIndexedSeq
+    require(cents.nonEmpty, "k-means on an empty corpus")
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cents.length)(null: Array[Long])
+      val counts = new Array[Long](cents.length)
+      data.foreach { case (_, q) =>
+        var best = 0
+        var bestD = Long.MaxValue
+        var j = 0
+        while (j < cents.length) {
+          val c = cents(j)
+          var d = 0L
+          var i = 0
+          while (i < q.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+          j += 1
+        }
+        counts(best) += 1
+        if (sums(best) == null) sums(best) = new Array[Long](q.length)
+        val s = sums(best)
+        var i = 0
+        while (i < q.length) { s(i) += q(i); i += 1 }
+      }
+      cents = cents.indices.map { j =>
+        if (counts(j) == 0L) cents(j)
+        else {
+          val arr = cents(j).clone()
+          var i = 0
+          while (i < arr.length) {
+            arr(i) = math.floor(sums(j)(i).toDouble / counts(j)).toLong
+            i += 1
+          }
+          arr
+        }
+      }
+    }
+    cents
   }
 
   /** Assignment under a fixed centroid matrix: (vec_id, cluster, dist_sq).

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   * one. */
 object Multimodal {
 
+  // ImageIO's default stream cache is a temp FILE per image read/write
+  // (FileCacheImageInputStream/-OutputStream): with it on, every decoded
+  // doc pays 2-4 disk-backed round-trips in /tmp, all tasks contending on
+  // one disk. These payloads are tiny in-memory byte arrays — the memory
+  // cache is strictly better and bit-identical. Once per JVM at object
+  // init (executors initialize this object with the task closure).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaMeta(doc_id: Long, n_bytes: Int, format: String,
                        width: Int, height: Int, mean_byte: Double)
 

@@ -55,6 +55,24 @@ object Perceptron {
   def train(feats: DataFrame, epochs: Int): Array[Long] = {
     val f = feats.persist()
     try {
+      // bounded-corpus early-out: one collect of the slim integer feature
+      // rows replaces the per-epoch aggregation jobs — identical exact Long
+      // update (PerceptronSpec's oracle parity covers both paths)
+      val nRows = f.count()
+      if (nRows <= graft.kg.LocalIter.maxEdges(f.sparkSession)) {
+        val rows = f.select(col("y"), col("x1"), col("x2"), col("x3")).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        var wl = Array(0L, 0L, 0L, 0L)
+        (1 to epochs).foreach { _ =>
+          var g0 = 0L; var g1 = 0L; var g2 = 0L; var g3 = 0L
+          rows.foreach { case (y, x1, x2, x3) =>
+            val dot = wl(0) + wl(1) * x1 + wl(2) * x2 + wl(3) * x3
+            if ((y == 1L) != (dot > 0L)) { g0 += y; g1 += y * x1; g2 += y * x2; g3 += y * x3 }
+          }
+          wl = Array(wl(0) + g0, wl(1) + g1, wl(2) + g2, wl(3) + g3)
+        }
+        return wl
+      }
       var w = Array(0L, 0L, 0L, 0L)
       (1 to epochs).foreach { _ =>
         val dot = lit(w(0)) + lit(w(1)) * col("x1") +

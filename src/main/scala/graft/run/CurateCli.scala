@@ -176,6 +176,17 @@ object CurateCli {
           sampled.select(col("doc_id"), col("clean_text").as("text")), w, st, mt)
       }
     }
+    // the packing unit id below is doc_id·2^16 + chunk_idx: a doc yielding
+    // ≥ 65536 chunks (over 65536·stride tokens) would silently collide into
+    // the next doc's id space — fail the run loudly instead (cheap agg on
+    // the checkpointed chunk output)
+    chunked.foreach { c =>
+      val mx = Option(c.agg(max(col("chunk_idx"))).head().get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      require(mx < 65536L, s"chunk stage produced chunk_idx=$mx >= 65536: " +
+        "the doc_id*65536+chunk_idx packing unit id would collide; " +
+        "use a larger stride or split oversized docs upstream")
+    }
 
     // terminal stage: lay the curated survivors (or their chunks) end-to-end
     // in unit order and cut fixed-budget training sequences — the
