@@ -83,22 +83,44 @@ object Dedup {
     // bounded by the stop-shingle cap (≤ maxDf·(maxDf−1)/2). The posting key
     // is the 64-bit shingle HASH, not the string — same distinct counts
     // (collisions ~n²/2⁶⁴), a fraction of the exchange bytes.
+    //
+    // The pair stream is the plan's dominant term (Σ C(df,2) rows — 5.3M at
+    // sf0.1 for 6k final pairs), so pair rows carry ONLY (a, b): the
+    // per-doc set sizes needed for the jaccard denominator broadcast-join
+    // back AFTER the pair aggregation (docs-sized slim table vs +2 longs on
+    // every pair row — guide §2.3, shuffle keys not payloads).
+    // persisted: the (slim, docs-sized) shingle-set projection feeds the
+    // posting explode AND the two size broadcasts — one kernel pass, not 3
     val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
-    val posting = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    // n_sh = |distinct shingle set| (the pre-cap posting count per doc)
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val byShingle = posting.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-    byShingle
-      .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p._1.doc_id").as("a"), col("p._2.doc_id").as("b"),
-        col("p._1.n_sh").as("na"), col("p._2.n_sh").as("nb"))
-      .groupBy("a", "b", "na", "nb")
+    explodeOrderedPairs(byShingle, "ds")
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_sh").as("na"))), Seq("a"))
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb"))), Seq("b"))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("a").as("doc_a"), col("b").as("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** All ordered pairs (a < b by array position) of each row's sorted
+    * `listCol` array, as two bare columns — expanded with
+    * posexplode + slice + explode, which run in GenerateExec/codegen,
+    * instead of the nested HOF lambdas of [[pairCombos]] (interpreted eval
+    * — measured ~2× slower on the multi-million-row pair streams of the
+    * jaccard/containment miners). */
+  private def explodeOrderedPairs(grouped: DataFrame, listCol: String): DataFrame =
+    grouped
+      .select(posexplode(col(listCol)).as(Seq("i", "a")), col(listCol))
+      .select(col("a"),
+        explode(slice(col(listCol), col("i") + lit(2), lit(1000000))).as("b"))
 
   /** Containment near-dup pairs — the asymmetric score Jaccard structurally
     * misses: a short document quoted verbatim inside a long one shares ALL
@@ -109,17 +131,20 @@ object Dedup {
     * only the final ratio differs, so the 100 TB story is the same. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9, n: Int = 3,
                        maxDf: Int = 50, textCol: String = "text"): DataFrame = {
+    // identical slim-pair shape as [[jaccardPairs]] — bare (a, b) pair rows,
+    // sizes broadcast-joined after the aggregation, one persisted kernel pass
     val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
-    val posting = withSh.select(col("doc_id"), size(col("sh")).as("n_sh"), explode(col("sh")).as("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val posting = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val sizes = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
     val byShingle = posting.groupBy(col("shingle"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, maxDf))
-    byShingle
-      .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p._1.doc_id").as("a"), col("p._2.doc_id").as("b"),
-        col("p._1.n_sh").as("na"), col("p._2.n_sh").as("nb"))
-      .groupBy("a", "b", "na", "nb")
+    explodeOrderedPairs(byShingle, "ds")
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("n_sh").as("na"))), Seq("a"))
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("n_sh").as("nb"))), Seq("b"))
       .withColumn("containment", col("inter").cast("double") /
         least(col("na"), col("nb")).cast("double"))
       .filter(col("containment") >= threshold)
@@ -168,11 +193,11 @@ object Dedup {
     // plan review showed 44 parquet scans and zero ReusedExchange. Both are
     // small by construction (candidate pairs / candidate docs' shingles), so
     // explicit persistence is the scale-correct call; Spark's LRU evicts.
-    val cand = banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, maxBucket))
-      .select(explode(pairCombos(col("ds"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"))
+    val cand = explodeOrderedPairs(
+        banded.groupBy(col("band"), col("bucket"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, maxBucket)), "ds")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = cand.select(col("doc_a").as("doc_id"))
@@ -213,6 +238,28 @@ object Dedup {
     // subtree reuse across union branches
     val edges = pairs.select(key(col(aCol)).as("node_a"), key(col(bCol)).as("node_b"))
       .localCheckpoint()
+    // small-graph early-out, one step beyond ConnectedComponents' own:
+    // every CC node here IS an edge endpoint (nodes derive from the pair
+    // list), so the collected union-find labels are ALREADY the complete
+    // answer — emit the final frame as a LocalRelation instead of paying
+    // the generic sym-distinct / node-distinct / label-join round-trips
+    val eCnt = edges.count()
+    if (eCnt <= graft.kg.LocalIter.maxEdges(edges.sparkSession)) {
+      import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+      val ord = graft.kg.LocalIter.orderingFor(org.apache.spark.sql.types.StringType).get
+      val lbl = graft.kg.LocalIter.ccLabels(
+        edges.collect().map(r => (r.get(0), r.get(1))), ord)
+      // 20-digit zero-padded keys: byte order ≡ numeric order, so the
+      // component-minimum label decodes to the minimum doc_id
+      val rows = lbl.toSeq.map { case (n, c) =>
+        val docId = n.asInstanceOf[String].toLong
+        val cluster = c.asInstanceOf[String].toLong
+        org.apache.spark.sql.Row(docId, cluster, docId == cluster)
+      }
+      return graft.kg.LocalIter.localDf(edges.sparkSession,
+        StructType(Seq(StructField("doc_id", LongType), StructField("cluster_id", LongType),
+          StructField("kept", BooleanType))), rows)
+    }
     val nodes = edges.select(col("node_a").as("node"))
       .union(edges.select(col("node_b").as("node"))).distinct()
     graft.kg.ConnectedComponents.run(nodes, edges).select(
@@ -348,9 +395,8 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // within-signature pairs: distance 0
-    val within = sigGroups.filter(size(col("docs")) > 1)
-      .select(explode(pairCombos(col("docs"))).as("p"))
-      .select(col("p._1").as("doc_a"), col("p._2").as("doc_b"), lit(0L).as("dist"))
+    val within = explodeOrderedPairs(sigGroups.filter(size(col("docs")) > 1), "docs")
+      .select(col("a").as("doc_a"), col("b").as("doc_b"), lit(0L).as("dist"))
 
     // cross-signature pairs via pigeonhole bands over distinct signatures
     val banded = sigGroups.select(col("sigstr"), col("sig"), col("docs"),

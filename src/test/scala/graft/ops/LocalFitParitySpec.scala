@@ -38,6 +38,15 @@ class LocalFitParitySpec extends AnyFunSuite {
     assert(local.map(_.toSeq) === dist.map(_.toSeq))
   }
 
+  test("dupClusters local ≡ distributed") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (5L, 3L), (7L, 8L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val local = Dedup.dupClusters(pairs).collect().map(_.toSeq).toSet
+    val dist = distributed(Dedup.dupClusters(pairs).collect().map(_.toSeq).toSet)
+    assert(local === dist)
+    assert(local.contains(Seq(5L, 1L, false))) // 1-2-3-5 one component, min 1
+  }
+
   test("perceptron train local ≡ distributed (bit-exact weights)") {
     val docs = (0 until 200).map { i =>
       val text = if (i % 3 == 0) "the cat is on the mat and it is a fine day"
