@@ -182,12 +182,18 @@ object Dedup {
                       maxBucket: Int = 200): DataFrame = {
     require(k % bands == 0)
     val r = k / bands
+    // band buckets in pure codegen: explode the band index, hash the band's
+    // r signature slots directly (variadic xxhash64 over element_at — no
+    // per-band string building in interpreted lambdas). Bucket VALUES
+    // differ from the old concat-string hash, but bucket identity semantics
+    // don't: equal band slots ⇒ equal bucket either way, and a 64-bit hash
+    // collision can only ADD a candidate pair (verified exactly afterward).
     val banded = docs
       .select(col("doc_id"), minhashSignature(col(textCol), k, n).as("sig"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          bnd => xxhash64(concat_ws(",", transform(slice(col("sig"), bnd * r + lit(1), lit(r)), v => v.cast("string")))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        xxhash64((1 to r).map(j => element_at(col("sig"), col("band") * r + j)): _*).as("bucket"))
     // cand/candSh are each referenced 2-3 times below; WITHOUT persist every
     // reference re-inlines (and re-executes) the full banding pipeline —
     // plan review showed 44 parquet scans and zero ReusedExchange. Both are
@@ -294,11 +300,13 @@ object Dedup {
     // keep-first window — the lineDedup collision discipline without
     // shuffling the text: a silent dup-stat inflation now needs a
     // simultaneous 128-bit collision
-    val spans = withToks.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), nSpans - 1),
-          i => array_join(slice(col("toks"), i * span + 1, lit(span)), " "))))
-      .select(col("doc_id"), col("pos").as("span_idx"),
-        xxhash64(col("col")).as("span_hash"), xxhash64(lit(1L), col("col")).as("span_hash2"))
+    val spans = withToks
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), nSpans - 1)).as("span_idx"))
+      .select(col("doc_id"), col("span_idx"),
+        array_join(slice(col("toks"), col("span_idx") * span + 1, lit(span)), " ").as("sp"))
+      .select(col("doc_id"), col("span_idx"),
+        xxhash64(col("sp")).as("span_hash"), xxhash64(lit(1L), col("sp")).as("span_hash2"))
     val w = Window.partitionBy(col("span_hash"), col("span_hash2"))
       .orderBy(col("doc_id"), col("span_idx"))
     spans.withColumn("rn", row_number().over(w))
@@ -398,11 +406,16 @@ object Dedup {
     val within = explodeOrderedPairs(sigGroups.filter(size(col("docs")) > 1), "docs")
       .select(col("a").as("doc_a"), col("b").as("doc_b"), lit(0L).as("dist"))
 
-    // cross-signature pairs via pigeonhole bands over distinct signatures
+    // cross-signature pairs via pigeonhole bands over distinct signatures.
+    // The chunk key packs the band's `width` bits into ONE long (injective —
+    // exactly the equality semantics of the old bit-string concat) in a
+    // codegen projection instead of interpreted string-building lambdas.
     val banded = sigGroups.select(col("sigstr"), col("sig"), col("docs"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        i => concat_ws("", slice(col("sig"), i * width + lit(1), lit(width))))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+        explode(sequence(lit(0), lit(chunks - 1))).as("band"))
+      .withColumn("chunk",
+        (1 to width).map(j =>
+          element_at(col("sig"), col("band") * width + j).cast("long") * lit(1L << (width - j)))
+          .reduce(_ + _))
     val a = banded.select(col("band"), col("chunk"), col("sigstr").as("stra"),
       col("sig").as("siga"), col("docs").as("docsa"))
     val b = banded.select(col("band"), col("chunk"), col("sigstr").as("strb"),

@@ -49,13 +49,19 @@ object Dsir {
   def grams(docs: DataFrame): DataFrame = {
     // explicit whitespace class: Java \s also matches U+000B, RE2's doesn't
     val t = split(lower(trim(col("text"))), "[ \\t\\n\\f\\r]+")
-    val bigrams = zip_with(
-      slice(col("t"), lit(1), size(col("t")) - 1),
-      slice(col("t"), lit(2), size(col("t")) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    // one codegen'd generate: k ∈ [0, 2·len−2]; k < len is unigram t[k+1],
+    // else bigram (t[k−len+1], t[k−len+2]) — the same gram BAG as the old
+    // unigram-array ++ zip_with-bigram formulation without its interpreted
+    // per-element lambdas (bucket counts are order-insensitive)
     docs.filter(length(trim(col("text"))) > 0)
       .select(col("doc_id"), t.as("t"))
-      .select(col("doc_id"), explode(concat(col("t"), bigrams)).as("g"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) * 2 - 2)).as("k"))
+      .select(col("doc_id"),
+        when(col("k") < size(col("t")), element_at(col("t"), col("k") + 1))
+          .otherwise(concat(
+            element_at(col("t"), col("k") - size(col("t")) + 1), lit(" "),
+            element_at(col("t"), col("k") - size(col("t")) + 2))).as("g"))
       .select(col("doc_id"), substring(md5(col("g").cast("binary")), 1, 4).as("b"))
   }
 

@@ -41,10 +41,17 @@ object Sampling {
                        rates: Map[String, Double], defaultRate: Double = 0.0,
                        textCol: String = "text"): DataFrame = {
     val bucket = bucketHex(col("doc_id"), col(textCol))
-    val threshold = rates.foldLeft(lit(rateToHex(defaultRate))) {
-      case (acc, (stratum, rate)) =>
-        when(col(stratumCol) === stratum, lit(rateToHex(rate))).otherwise(acc)
-    }
+    // ONE reference to the stratum column (map-literal lookup), not one per
+    // when-branch: with a COMPUTED stratum (q48's quality band) the old
+    // when-chain re-inlined the full scoring expression tree into every
+    // branch of the pushed-down filter — ~5 evaluations per row. Lookup
+    // misses (incl. null stratum) coalesce to the default rate, exactly as
+    // the when-chain's otherwise did.
+    val threshold =
+      if (rates.isEmpty) lit(rateToHex(defaultRate))
+      else coalesce(
+        element_at(typedLit(rates.map { case (s, r) => s -> rateToHex(r) }), col(stratumCol)),
+        lit(rateToHex(defaultRate)))
     docs.withColumn("bucket", bucket)
       .filter(col("bucket") < threshold)
   }

@@ -41,12 +41,14 @@ object SubstrDedup {
     // final per-doc row (slim vs the corpus bytes, same rule as LmScore)
     val toks = docs.select(col("doc_id"), TextStats.words(col(textCol)).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // positions explode through GenerateExec and the slice+concat+md5 run
+    // in the following codegen projection — the previous transform() lambda
+    // evaluated the whole window chain interpreted, per gram
     val occ = toks.filter(size(col("ws")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("ws")) - n), i =>
-          struct(i.cast("long").as("pos"),
-            md5(concat_ws(" ", slice(col("ws"), i + 1, lit(n)))).as("g")))).as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.g").as("g"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0L), (size(col("ws")) - n).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        md5(concat_ws(" ", slice(col("ws"), (col("pos") + 1).cast("int"), lit(n)))).as("g"))
     val dupGrams = occ.groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1L).select("g")
     val w = Window.partitionBy("doc_id").orderBy("pos")
