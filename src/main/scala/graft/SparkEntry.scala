@@ -87,7 +87,12 @@ object SparkEntry {
     "q02_join_agg" -> ((s, dir) => {
       // multi-way join: lineitem ⨝ orders ⨝ customer ⨝ nation; revenue/nation.
       // customer+nation are small → Catalyst broadcasts them (AQE verified).
-      t(s, dir, "lineitem").join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      // orders takes a SHUFFLE_HASH hint: it is ~1/4 of lineitem and its
+      // per-partition build trivially fits, so the shuffled hash join skips
+      // both SMJ sorts (guide §3.1); the big side still shuffles once either
+      // way.
+      t(s, dir, "lineitem").join(t(s, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))

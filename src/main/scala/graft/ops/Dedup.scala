@@ -89,8 +89,17 @@ object Dedup {
     // per-doc set sizes needed for the jaccard denominator broadcast-join
     // back AFTER the pair aggregation (docs-sized slim table vs +2 longs on
     // every pair row — guide §2.3, shuffle keys not payloads).
-    // persisted: the (slim, docs-sized) shingle-set projection feeds the
-    // posting explode AND the two size broadcasts — one kernel pass, not 3
+    //
+    // A full AllPairs/SSJoin prefix-filter variant (candidates from the
+    // df-ascending (1−t)-prefix of each doc's shared-shingle list + exact
+    // set verification) was implemented and MEASURED SLOWER here (q22
+    // 2.36 s → 3.61 s, q28 2.93 → 3.99 s at sf0.1): its extra doc-keyed
+    // shuffle, candidate dedupe and array-payload verify joins cost more
+    // than the 5.3M→~0.3M bare-long pair-row reduction saves. It becomes
+    // the right trade only when Σ C(df,2) outgrows the corpus by orders of
+    // magnitude (boilerplate-heavy shingle dfs near the cap) — revisit
+    // with measurements if maxDf-sized postings ever dominate; see
+    // OPTIMIZATION_r06.md ("tried and reverted").
     val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))

@@ -45,16 +45,17 @@ object LmScore {
 
   private def words(text: Column): Column = TextStats.words(text)
 
-  /** (doc_id, w1, w2) adjacent-bigram rows of a tokenized (doc_id, ws) frame. */
-  private def bigramRows(toks: DataFrame): DataFrame = {
-    val ws = col("ws")
-    val n = size(ws)
-    val pairs = when(n < 2, array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(zip_with(slice(ws, lit(1), n - 1), slice(ws, lit(2), n - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2"))))
-    toks.select(col("doc_id"), explode(pairs).as("p"))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-  }
+  /** (doc_id, w1, w2) adjacent-bigram rows of a tokenized (doc_id, ws)
+    * frame — positions explode through GenerateExec, the element_at pair
+    * projection is codegen (the zip_with lambda it replaces ran
+    * interpreted per bigram). */
+  private def bigramRows(toks: DataFrame): DataFrame =
+    toks.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
 
   /** Per-doc mean bigram log-likelihood under an add-1-smoothed bigram LM
     * trained on `train` (default: the scored corpus itself). Output:
