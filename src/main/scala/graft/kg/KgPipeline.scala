@@ -163,9 +163,30 @@ object KgPipeline {
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    val edges = simPairs.union(linkEdges).localCheckpoint()
+
+    // small-graph fast path, one step beyond ConnectedComponents' own: the
+    // output only needs labels for SURFACE nodes (ID: nodes exist solely to
+    // glue components through the dictionary), so the collected union-find
+    // labels broadcast-join straight onto the persisted surfaces frame —
+    // surfaces in no edge self-label — skipping the generic sym/node/label
+    // materializations. Identical labeling: the component minimum is taken
+    // over ALL edge nodes (incl. ID:), exactly like the distributed CC.
+    val eCnt = edges.count()
+    if (eCnt <= 2 * LocalIter.maxEdges(spark)) {
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val lbl = LocalIter.ccLabels(edges.collect().map(r => (r.get(0), r.get(1))),
+        LocalIter.orderingFor(StringType).get)
+      val lblDf = LocalIter.localDf(spark,
+        StructType(Seq(StructField("node", StringType), StructField("comp", StringType))),
+        lbl.toSeq.map { case (n, c) => org.apache.spark.sql.Row(n, c) })
+      return surfaces.join(broadcast(lblDf), Seq("node"), "left")
+        .select($"entity", $"surface", $"n_mentions",
+          concat(lit("C:"), coalesce($"comp", $"node")).as("canon_id"))
+    }
+
     val allNodes = surfaces.select($"node").union(linkEdges.select($"node_a"))
       .union(linkEdges.select($"node_b")).distinct()
-    val edges = simPairs.union(linkEdges)
 
     val cc = ConnectedComponents.run(allNodes, edges)
     // canon_id = representative node per component

@@ -446,13 +446,6 @@ object Dedup {
     within.union(cross)
   }
 
-  /** All unordered pairs within one array (tiny arrays only). */
-  private def pairCombos(xs: Column): Column =
-    flatten(transform(xs, (x, i) =>
-      // length must keep start+length inside Int range (Slice overflows
-      // silently on Int.MaxValue) — 1e6 is far beyond any per-group size here
-      transform(slice(xs, i + lit(2), lit(1000000)), y => struct(x.as("_1"), y.as("_2")))))
-
   /** Cross product of two (tiny) arrays. */
   private def crossCombos(xs: Column, ys: Column): Column =
     flatten(transform(xs, x => transform(ys, y => struct(x.as("_1"), y.as("_2")))))

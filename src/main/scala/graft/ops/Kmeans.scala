@@ -176,16 +176,22 @@ object Kmeans {
   def semDedupPairs(embeddings: DataFrame, k: Int, iters: Int,
                     threshold: Double, scale: Long = 1000000L,
                     maxCluster: Long = 100000L): DataFrame = {
+    // persist the SLIM assignment (2 longs/row — never the corpus vectors):
+    // cluster sizes and both self-join sides derive from it, and without it
+    // every reference re-inlined the full assign scan — the plan audit
+    // showed 16 parquet scans of the embeddings for one query. The
+    // size cap becomes a broadcast semi-join on the ≤k cluster ids.
     val a = cluster(embeddings, k, iters, scale).select("vec_id", "cluster")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val okCl = a.groupBy("cluster").agg(count(lit(1)).as("csize"))
+      .filter(col("csize") <= maxCluster).select("cluster")
     val withVec = embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .join(a, Seq("vec_id"))
+      .join(broadcast(okCl), Seq("cluster"), "left_semi")
       .withColumn("n", Similarity.norm(col("embedding")))
-    val sized = withVec.join(
-      withVec.groupBy("cluster").agg(count(lit(1)).as("csize")), Seq("cluster"))
-      .filter(col("csize") <= maxCluster)
-    val l = sized.select(col("cluster"), col("vec_id").as("id_a"),
+    val l = withVec.select(col("cluster"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("n").as("na"))
-    val r = sized.select(col("cluster"), col("vec_id").as("id_b"),
+    val r = withVec.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("vb"), col("n").as("nb"))
     l.join(r, Seq("cluster")).filter(col("id_a") < col("id_b"))
       .withColumn("cos",

@@ -38,12 +38,19 @@ object StreamingOps {
     * state bounded by the horizon, same eviction contract as `dedupStream`.
     * The state key is the xxhash64 of the bit pattern (8 bytes/doc). */
   def nearDedupStream(docs: DataFrame, tsCol: String = "event_ts",
-                      textCol: String = "text", horizon: String = "1 hour"): DataFrame =
-    docs.withColumn("simhash_key", xxhash64(concat_ws(",",
-        graft.ops.Dedup.simhashBits(col(textCol)))))
+                      textCol: String = "text", horizon: String = "1 hour"): DataFrame = {
+    // state key = the 64 signature bits packed into ONE long (injective —
+    // it IS the simhash value), in a codegen projection; the previous
+    // xxhash64-of-comma-joined-bits built a 64-element string per doc for
+    // the same equality semantics
+    val bits = graft.ops.Dedup.simhashBits(col(textCol))
+    val packed = (1 to 64).map(j =>
+      element_at(bits, j).cast("long") * lit(1L << (64 - j))).reduce(_ + _)
+    docs.withColumn("simhash_key", packed)
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("simhash_key")
       .drop("simhash_key")
+  }
 
   /** Streaming corpus-clean: the scan-side curation gates — language,
     * quality score, Gopher repetition rules, benchmark contamination, PII
