@@ -27,6 +27,15 @@ object SparkEntry {
 
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+  // NOTE on input layout: the sf tables are ONE parquet file with ONE row
+  // group each — an unsplittable scan (guide §2.5), so scan-side compute
+  // runs on a single task until the first exchange. A blanket
+  // repartition-after-read here was A/B-measured NET NEGATIVE (it wins
+  // where heavy text kernels run pre-exchange — q20/q22/q28/q48/q72 — but
+  // loses the exchange cost wherever the first shuffle comes cheap: q01
+  // +0.26 s, q05 +0.16, q44 +1.0, q24 +0.4). The redistribution guard
+  // instead lives INSIDE the operators that own heavy scan-side kernels
+  // (ops.Inputs.spread), where it is a no-op on adequately-split input.
 
   /** documents ∪ a deterministic near-duplicate of every doc (one token
     * appended, id shifted) — gives the dedup/similarity operators real work
@@ -295,7 +304,9 @@ object SparkEntry {
                       GROUP BY 1, 2, 3, 4)"""
 
   private val opsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q20_textstats" -> ((s, dir) => TextStats.stats(t(s, dir, "documents"))),
+    "q20_textstats" -> ((s, dir) =>
+      // the stats projection IS the query — spread the unsplittable scan
+      TextStats.stats(graft.ops.Inputs.spread(t(s, dir, "documents")))),
     "q21_dedup_exact" -> ((s, dir) => Dedup.exactGroups(docsWithDups(s, dir).union(
       // plant exact duplicates too: a second copy of every 10th doc
       t(s, dir, "documents").filter(col("doc_id") % 10 === 0)
@@ -404,7 +415,8 @@ object SparkEntry {
       // higher rate — the mixture-reweighting step after scoring. Stratum =
       // quality band (codegen'd), decision = the same md5-bucket predicate
       // as q38; everything stays scan-side.
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val docs = graft.ops.Inputs.spread(t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
         // round BEFORE the long cast: quality·10 lands on values like
         // 2.9999999999999996 (0.3 is inexact in binary) and Spark's
         // double→long cast TRUNCATES while DuckDB's rounds — an explicit

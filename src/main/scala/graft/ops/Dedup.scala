@@ -100,7 +100,10 @@ object Dedup {
     // magnitude (boilerplate-heavy shingle dfs near the cap) — revisit
     // with measurements if maxDf-sized postings ever dominate; see
     // OPTIMIZATION_r06.md ("tried and reverted").
-    val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
+    // Inputs.spread: the shingle kernel is the heavy scan-side pass — on
+    // unsplittable (single-row-group) input it would run on ONE task
+    val withSh = Inputs.spread(docs)
+      .select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     // n_sh = |distinct shingle set| (the pre-cap posting count per doc)
@@ -142,7 +145,8 @@ object Dedup {
                        maxDf: Int = 50, textCol: String = "text"): DataFrame = {
     // identical slim-pair shape as [[jaccardPairs]] — bare (a, b) pair rows,
     // sizes broadcast-joined after the aggregation, one persisted kernel pass
-    val withSh = docs.select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
+    val withSh = Inputs.spread(docs)
+      .select(col("doc_id"), shingleHashes(col(textCol), n).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val posting = withSh.select(col("doc_id"), explode(col("sh")).as("shingle"))
     val sizes = withSh.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))

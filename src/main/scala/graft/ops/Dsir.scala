@@ -69,7 +69,10 @@ object Dsir {
     * (doc_id, score_fp bigint, n_grams bigint). */
   def score(raw: DataFrame, target: DataFrame): DataFrame = {
     // one gram-extraction pass over the raw corpus: feeds BOTH the q̂
-    // bucket counts and the scoring join
+    // bucket counts and the scoring join. (An Inputs.spread before the
+    // gram pass was probed and measured FLAT-to-negative here — the
+    // persist's cache write already follows the explode, and the extra
+    // exchange of raw text costs what the parallel md5 saves.)
     val rg = grams(raw).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cq/cp are each consumed twice (weight join + N totals) — persist the
     // ≤65,536-row bucket tables so the corpus-gram aggregation runs ONCE
