@@ -54,18 +54,15 @@ object IvfIndex {
     Index(assigned, centroids)
   }
 
-  /** argmin over the literal centroid array as a column expression: per
-    * centroid one zip_with/aggregate squared-distance pass, then array_min
-    * over (dist, cell) structs (ties → lowest cell). Map-side only. */
-  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column = {
-    val v = vec.cast("array<double>")
-    val scored = cents.zipWithIndex.map { case (c, i) =>
-      val d = aggregate(zip_with(v, typedLit(c.toSeq), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-      struct(d.as("d"), lit(i).as("cell"))
-    }
-    array_min(array(scored: _*)).getField("cell")
-  }
+  /** argmin over the literal centroid matrix — the native
+    * [[graft.plans.IvfNearestCellExpression]] kernel (one generated call per
+    * row; the previous per-centroid zip_with/aggregate folds were
+    * interpreted lambdas). Identical IEEE operation order and lowest-cell
+    * tie-break — the q33 pin stays bit-identical. Map-side only. */
+  private def nearestCell(vec: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.IvfNearestCellExpression(
+        org.apache.spark.sql.GraftColumnBridge.expression(vec), cents))
 
   /** Seeded k-means++ init + Lloyd, fixed iteration order on the driver —
     * bit-deterministic for a given (sample, seed). */

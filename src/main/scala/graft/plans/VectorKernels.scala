@@ -33,6 +33,61 @@ object VectorKernel {
   }
 }
 
+/** Native nearest-centroid kernel for the IVF coarse quantizer
+  * (graft.ops.IvfIndex). Replaces an `array(...)` of nCentroids independent
+  * `aggregate(zip_with(v, c, (a−b)²))` folds + `array_min` — interpreted
+  * lambdas per row — with one generated static call.
+  *
+  * Bit-parity contract (gated by the q33 golden pin and IvfSpec): per
+  * centroid, float→double widening per element, (a−b)² in double,
+  * LEFT-TO-RIGHT double accumulation — the exact IEEE sequence of the HOF
+  * fold; ties break to the LOWEST cell index, exactly what
+  * `array_min(array(struct(d, cell)…))` returned (lexicographic struct
+  * minimum). */
+object IvfKernel {
+  def nearestCell(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val n = math.min(v.numElements(), c.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val t = v.getFloat(i).toDouble - c(i)
+        d += t * t
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = j }
+      j += 1
+    }
+    best
+  }
+}
+
+/** `ivf_nearest_cell(v)` → int against the literal centroid matrix. */
+case class IvfNearestCellExpression(child: Expression, cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with ExpectsInputTypes {
+  require(cents.nonEmpty, "ivf_nearest_cell needs at least one centroid")
+  override def inputTypes = Seq(ArrayType(FloatType))
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "ivf_nearest_cell"
+
+  override def nullSafeEval(v: Any): Any =
+    IvfKernel.nearestCell(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.plans.IvfKernel$$.MODULE$$.nearestCell($v, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfNearestCellExpression =
+    copy(child = newChild)
+}
+
 /** `float_dot(x, y)` → double. */
 case class FloatDotExpression(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
