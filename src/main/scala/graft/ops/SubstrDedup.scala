@@ -38,8 +38,12 @@ object SubstrDedup {
   def dupNgramCoverage(docs: DataFrame, n: Int = 8, textCol: String = "text"): DataFrame = {
     require(n >= 2, s"window length must be >= 2, got $n")
     // tokenize ONCE: the projection feeds both the occurrence stream and the
-    // final per-doc row (slim vs the corpus bytes, same rule as LmScore)
-    val toks = docs.select(col("doc_id"), TextStats.words(col(textCol)).as("ws"))
+    // final per-doc row (slim vs the corpus bytes, same rule as LmScore).
+    // Inputs.spread: the per-window md5 stream derives from this cached
+    // projection's partitioning — on unsplittable input it would run on
+    // 1-2 tasks (A/B: 1.35 s vs 1.72 s warm at sf0.1)
+    val toks = Inputs.spread(docs)
+      .select(col("doc_id"), TextStats.words(col(textCol)).as("ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // positions explode through GenerateExec and the slice+concat+md5 run
     // in the following codegen projection — the previous transform() lambda
